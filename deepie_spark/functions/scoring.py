@@ -1,0 +1,175 @@
+"""Deterministic trigger/alias scoring model.
+
+The reference's extraction quality lives in trained BERT weights
+(models/spo_net/multi_pointer_net.py) that we neither have nor need:
+the build contract scores our pipeline against *reference-semantics*
+gold, so what must be reproduced exactly is the cascade's **decode
+machinery** — thresholds, pairing, regrouping — not the neural net.
+
+This module is the model stand-in: a deterministic scorer that, given
+the token stream of a page, emits the same [L,2] subject grid and
+[L,P,2] per-subject object grid shapes the reference's
+``ERENet.forward`` emits (multi_pointer_net.py:74-93), with probability
+0.95 at spans it believes in and 0.0 elsewhere.  The downstream decode
+(operators/decode.py) then applies the reference's exact thresholds
+(subject start>0.6/end>0.5, object 0.6/0.5) and pairing rules.  The
+scorer is pure and picklable: it runs identically in the single-row
+Python oracle and inside Arrow-batched ``mapInPandas`` workers, which
+is precisely the per-url invariant the driver checks.
+
+Belief rules (the "weights"):
+  - candidate value spans = alias-trie matches (the gazetteer analogue,
+    trie.py:36-43) plus maximal digit-run elements;
+  - a predicate fires where its trigger-phrase token sequence occurs;
+    subject = longest candidate span ending just before the trigger,
+    object = longest candidate span starting just after it;
+  - complex-affiliate predicates (schema.affiliate_of) condition on the
+    nearest preceding primary's object within the sentence — mirroring
+    how the reference's cascade tags affiliate rows with the primary
+    *object* as their subject (data_loader_v2.py:236-239).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from deepie_spark.config.schema import SpoSchema
+from deepie_spark.functions.tokenizer import (
+    WordPieceTokenizer,
+    split_sub_text,
+)
+from deepie_spark.functions.trie import AliasTrie
+
+PROB = 0.95
+SENTENCE_ENDS = {".", "。", "!", "！", "?", "？"}
+
+
+def tokenize_phrase(phrase: str, tokenizer: WordPieceTokenizer) -> tuple[str, ...]:
+    toks: list[str] = []
+    for el in split_sub_text(phrase):
+        if el == " ":
+            continue
+        toks.extend(tokenizer.tokenize(el))
+    return tuple(toks)
+
+
+class TriggerModel:
+    def __init__(self, schema: SpoSchema, tokenizer: WordPieceTokenizer, trie: AliasTrie):
+        self.schema = schema
+        self.tokenizer = tokenizer
+        self.trie = trie
+        self.num_labels = schema.num_labels
+        # pid -> list of trigger token tuples (one per language)
+        self.triggers: dict[int, list[tuple[str, ...]]] = {
+            p.pid: [
+                t
+                for t in (tokenize_phrase(ph, tokenizer) for ph in p.triggers.values())
+                if t
+            ]
+            for p in schema.predicates
+        }
+
+    # -- span proposal --------------------------------------------------
+
+    def propose_spans(
+        self, text: str, tokens: list[str], starts: list[int], ends: list[int]
+    ) -> list[tuple[int, int]]:
+        """Candidate value spans as inclusive (tok_start, tok_end) pairs:
+        alias matches plus digit-run elements."""
+        spans: set[tuple[int, int]] = set()
+        for s, e, _entry in self.trie.match_all(tokens):
+            spans.add((s, e - 1))
+        # digit runs: consecutive tokens sharing one orig element whose
+        # chars are all digits
+        i, n = 0, len(tokens)
+        while i < n:
+            j = i
+            while j + 1 < n and starts[j + 1] == starts[i] and ends[j + 1] == ends[i]:
+                j += 1
+            frag = text[starts[i] : ends[i] + 1]
+            if frag.isdigit():
+                spans.add((i, j))
+            i = j + 1
+        return sorted(spans)
+
+    # -- trigger scan -----------------------------------------------------
+
+    def _occurrences(self, tokens: list[str]):
+        """All (pos, pid, trig_len) trigger hits, sorted by position then
+        longest trigger first (so nested triggers prefer the long one)."""
+        occ = []
+        n = len(tokens)
+        for pid, seqs in self.triggers.items():
+            for seq in seqs:
+                m = len(seq)
+                if m == 0 or m > n:
+                    continue
+                first = seq[0]
+                for i in range(n - m + 1):
+                    if tokens[i] == first and tuple(tokens[i : i + m]) == seq:
+                        occ.append((i, pid, m))
+        occ.sort(key=lambda t: (t[0], -t[2]))
+        return occ
+
+    def scan(
+        self, text: str, tokens: list[str], starts: list[int], ends: list[int]
+    ) -> list[tuple[int, int, int, int, int]]:
+        """(s1, s2, o1, o2, pid) in unwrapped token indices (inclusive)."""
+        spans = self.propose_spans(text, tokens, starts, ends)
+        by_end: dict[int, tuple[int, int]] = {}
+        by_start: dict[int, tuple[int, int]] = {}
+        for s, e in spans:  # later (longer-from-same-edge) wins
+            cur = by_end.get(e)
+            if cur is None or (e - s) > (cur[1] - cur[0]):
+                by_end[e] = (s, e)
+            cur = by_start.get(s)
+            if cur is None or (e - s) > (cur[1] - cur[0]):
+                by_start[s] = (s, e)
+
+        sent_end_positions = [i for i, t in enumerate(tokens) if t in SENTENCE_ENDS]
+
+        out: list[tuple[int, int, int, int, int]] = []
+        last_primary_obj: dict[int, tuple[int, int]] = {}
+        prev_pos = 0
+        for pos, pid, m in self._occurrences(tokens):
+            # sentence boundary between previous hit and this one resets
+            # the primary-object conditioning state
+            if any(prev_pos <= b < pos for b in sent_end_positions):
+                last_primary_obj.clear()
+            prev_pos = pos
+
+            obj = by_start.get(pos + m)
+            if obj is None:
+                continue
+            if pid in self.schema.affiliate_of:
+                primary = self.schema.affiliate_of[pid]
+                sub = last_primary_obj.get(primary)
+            else:
+                sub = by_end.get(pos - 1)
+            if sub is None:
+                continue
+            out.append((sub[0], sub[1], obj[0], obj[1], pid))
+            if pid in self.schema.complex_primary_ids:
+                last_primary_obj[pid] = obj
+        return out
+
+    # -- grid emission (reference ERENet output shapes) -------------------
+
+    def subject_grid(self, scan_result, n_wrapped: int) -> np.ndarray:
+        """[L,2] start/end probabilities over [CLS]+tokens+[SEP]."""
+        g = np.zeros((n_wrapped, 2), dtype=np.float32)
+        for s1, s2, _o1, _o2, _p in scan_result:
+            g[s1 + 1, 0] = PROB
+            g[s2 + 1, 1] = PROB
+        return g
+
+    def po_grid(self, scan_result, subject: tuple[int, int], n_wrapped: int) -> np.ndarray:
+        """[L,P,2] object grid conditioned on one subject span (wrapped
+        indices, as the cascade's stage-2 sees it)."""
+        g = np.zeros((n_wrapped, self.num_labels, 2), dtype=np.float32)
+        s1, s2 = subject[0] - 1, subject[1] - 1  # unwrap
+        for t1, t2, o1, o2, p in scan_result:
+            if (t1, t2) == (s1, s2):
+                g[o1 + 1, p, 0] = PROB
+                g[o2 + 1, p, 1] = PROB
+        return g

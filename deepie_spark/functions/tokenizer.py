@@ -1,0 +1,180 @@
+"""Deterministic WordPiece tokenizer with char-offset maps.
+
+Reproduces the reference's tokenization surface exactly:
+
+  - sub-text segmentation state machine: CJK/punct chars become their
+    own element; digit runs and latin runs are separate buffered
+    elements (reference: run/DuIE/transformer_mpn_v2/data_loader_v2.py:63-92).
+  - per-element WordPiece with shared orig-char offsets per element and
+    a hard stop at ``max_seq_length - 2`` implemented with the same
+    for/else break (data_loader_v2.py:94-113).
+  - greedy longest-match WordPiece (reference ships its own pure-python
+    impl, utils/data_util.py:305-327, to avoid HF nondeterminism; ours
+    is an independent implementation of the same public algorithm).
+  - lowercase + NFD + strip Mn marks, per BERT do_lower_case
+    (utils/data_util.py:109-113 semantics).
+
+The tokenizer is a plain picklable object built from a pinned vocab
+artifact (deepie_spark/resources/vocab.txt) so results are bit-stable
+across sessions, Arrow batch sizes, and executors.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from pathlib import Path
+
+from deepie_spark.functions.cjk import is_cjk_or_punct
+
+PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
+SPECIALS = [PAD, UNK, CLS, SEP, MASK]
+
+_DIGIT_RE = re.compile(r"\d")
+_DEFAULT_VOCAB = Path(__file__).resolve().parent.parent / "resources" / "vocab.txt"
+
+
+def load_vocab(path: str | Path = _DEFAULT_VOCAB) -> dict[str, int]:
+    vocab: dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            tok = line.rstrip("\n")
+            if tok and tok not in vocab:
+                vocab[tok] = len(vocab)
+    return vocab
+
+
+def normalize_word(word: str) -> str:
+    """BERT-style do_lower_case: lowercase, NFD, drop combining marks."""
+    out = []
+    for ch in unicodedata.normalize("NFD", word.lower()):
+        if unicodedata.category(ch) == "Mn":
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+class WordPieceTokenizer:
+    """Greedy longest-match WordPiece over a fixed vocab."""
+
+    def __init__(self, vocab: dict[str, int], max_word_chars: int = 100):
+        self.vocab = vocab
+        self.unk_id = vocab[UNK]
+        self.max_word_chars = max_word_chars
+
+    def wordpiece(self, word: str) -> list[str]:
+        """Split one whitespace-free word into subword pieces.
+
+        Same greedy algorithm as the reference's
+        ``_word_piece_tokenize`` (utils/data_util.py:305-327), with the
+        standard long-word -> [UNK] guard.
+        """
+        if word in self.vocab:
+            return [word]
+        if len(word) > self.max_word_chars:
+            return [UNK]
+        pieces: list[str] = []
+        start = 0
+        n = len(word)
+        while start < n:
+            stop = n
+            cur = None
+            while stop > start:
+                sub = word[start:stop]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                stop -= 1
+            if cur is None:
+                return [UNK]
+            pieces.append(cur)
+            start = stop
+        return pieces
+
+    def tokenize(self, element: str) -> list[str]:
+        """Tokenize one sub-text element (a CJK/punct char or a run)."""
+        word = normalize_word(element)
+        if not word:
+            return []
+        return self.wordpiece(word)
+
+    def encode(self, tokens: list[str]) -> list[int]:
+        v = self.vocab
+        unk = self.unk_id
+        return [v.get(t, unk) for t in tokens]
+
+
+def split_sub_text(text: str) -> list[str]:
+    """The reference's sub-text state machine (data_loader_v2.py:63-92).
+
+    CJK-or-punct chars (incl. space) are singleton elements; digit runs
+    and other (latin) runs buffer separately, a digit->latin or
+    latin->digit transition flushes the buffer.
+    """
+    sub_text: list[str] = []
+    buff = ""
+    flag_en = False
+    flag_digit = False
+    for ch in text:
+        if is_cjk_or_punct(ch):
+            if buff:
+                sub_text.append(buff)
+                buff = ""
+            sub_text.append(ch)
+            flag_en = False
+            flag_digit = False
+        elif _DIGIT_RE.match(ch):
+            if buff and flag_en:
+                sub_text.append(buff)
+                buff = ""
+                flag_en = False
+            flag_digit = True
+            buff += ch
+        else:
+            if buff and flag_digit:
+                sub_text.append(buff)
+                buff = ""
+                flag_digit = False
+            flag_en = True
+            buff += ch
+    if buff:
+        sub_text.append(buff)
+    return sub_text
+
+
+def tokenize_with_offsets(
+    text: str, tokenizer: WordPieceTokenizer, max_seq_length: int
+) -> tuple[list[str], list[int], list[int]]:
+    """Tokens + char offset maps, truncated at ``max_seq_length - 2``.
+
+    Mirrors ``covert_to_tokens`` (data_loader_v2.py:94-113): every
+    wordpiece of an element shares the element's [start, end] char
+    span; ' ' elements produce no tokens; truncation stops *mid
+    element* exactly like the reference's for/else break.
+    """
+    tokens: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    pos = 0
+    limit = max_seq_length - 2
+    for element in split_sub_text(text):
+        pieces = tokenizer.tokenize(element) if element != " " else []
+        pos += len(element)
+        done = False
+        for piece in pieces:
+            starts.append(pos - len(element))
+            ends.append(pos - 1)
+            tokens.append(piece)
+            if len(tokens) >= limit:
+                done = True
+                break
+        if done:
+            break
+    return tokens, starts, ends
+
+
+def wrap_cls_sep(tokens: list[str]) -> list[str]:
+    """[CLS] + tokens + [SEP] (data_loader_v2.py:191)."""
+    return [CLS] + tokens + [SEP]

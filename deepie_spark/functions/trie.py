@@ -1,0 +1,131 @@
+"""Alias dictionary as a broadcastable token trie.
+
+This is the engine's entity-linking candidate generator: the analogue
+of the reference's gazetteer trie (run/entity_extraction/
+lexiconAugmentNER/utils/trie.py:8-43 + gazetteer.py:3-45).  Semantics
+kept:
+
+  - ``enumerate_matches(seq, i)`` returns every dictionary entry that is
+    a prefix of ``seq[i:]``, longest first (trie.py:36-43 enumerates by
+    repeatedly chopping the tail; we walk forward instead — same result
+    set, O(longest-entry) instead of O(len(seq)^2)).
+  - matching is over *normalized tokens* (the gazetteer lowercases when
+    ``lower=True``, gazetteer.py:11-15); we normalize through the same
+    WordPiece normalizer used for page text so alias and text token
+    streams are directly comparable.
+  - each entry carries (canonical_id, entity_type, weight) —
+    ``ent2id`` / ``ent2type`` of gazetteer.py:17-25 plus the corpus
+    count weighting of utils/data.py:236-249.
+
+The structure is a plain nested dict so ``sc.broadcast`` pickles it
+cheaply; built once on the driver from the alias dimension table and
+shared read-only by every pandas-UDF worker.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+_LEAF = "\x00"  # key holding the payload list at a terminal node
+
+
+@dataclass(frozen=True)
+class AliasEntry:
+    canonical_id: int
+    entity_type: str
+    weight: float
+    alias: str  # original surface form
+
+
+class AliasTrie:
+    def __init__(self):
+        self.root: dict = {}
+        self.n_entries = 0
+
+    def insert(self, token_seq: list[str], entry: AliasEntry) -> None:
+        node = self.root
+        for tok in token_seq:
+            node = node.setdefault(tok, {})
+        node.setdefault(_LEAF, []).append(entry)
+        self.n_entries += 1
+
+    def enumerate_matches(
+        self, tokens: list[str], start: int
+    ) -> list[tuple[int, list[AliasEntry]]]:
+        """All dictionary entries that are prefixes of ``tokens[start:]``.
+
+        Returns [(end_exclusive, entries), ...] sorted longest-first —
+        the order the reference's enumerateMatch produces and that the
+        longest-first subsumption dedup (data.py:237-249) relies on.
+        """
+        node = self.root
+        out: list[tuple[int, list[AliasEntry]]] = []
+        i = start
+        n = len(tokens)
+        while i < n:
+            node = node.get(tokens[i])
+            if node is None:
+                break
+            i += 1
+            if _LEAF in node:
+                out.append((i, node[_LEAF]))
+        out.reverse()
+        return out
+
+    def match_all(
+        self, tokens: list[str]
+    ) -> list[tuple[int, int, AliasEntry]]:
+        """Every (start, end_exclusive, entry) match in the token stream."""
+        out = []
+        for i in range(len(tokens)):
+            for end, entries in self.enumerate_matches(tokens, i):
+                for e in entries:
+                    out.append((i, end, e))
+        return out
+
+    def match_longest_nonoverlap(
+        self, tokens: list[str]
+    ) -> list[tuple[int, int, AliasEntry]]:
+        """Longest-first, subsumption-deduped matches (data.py:236-249):
+        a match is kept only if no kept longer match covers any of its
+        positions; ties broken by start position then entry weight."""
+        all_matches = self.match_all(tokens)
+        all_matches.sort(key=lambda m: (-(m[1] - m[0]), m[0], -m[2].weight))
+        covered = [False] * len(tokens)
+        kept = []
+        for s, e, entry in all_matches:
+            if any(covered[s:e]):
+                continue
+            for i in range(s, e):
+                covered[i] = True
+            kept.append((s, e, entry))
+        kept.sort(key=lambda m: m[0])
+        return kept
+
+
+def build_alias_trie(
+    rows: list[dict], tokenize_fn
+) -> AliasTrie:
+    """Build from alias-dimension rows
+    (alias, canonical_id, entity_type, weight).
+
+    ``tokenize_fn`` maps a surface alias to its normalized token
+    sequence — pass the same tokenizer used on page text so the two
+    token streams align (the gazetteer's ``lower`` handling,
+    gazetteer.py:11-15, generalized).
+    """
+    trie = AliasTrie()
+    for r in rows:
+        toks = tokenize_fn(r["alias"])
+        if not toks:
+            continue
+        trie.insert(
+            toks,
+            AliasEntry(
+                canonical_id=int(r["canonical_id"]),
+                entity_type=r["entity_type"],
+                weight=float(r.get("weight", 1.0)),
+                alias=r["alias"],
+            ),
+        )
+    return trie

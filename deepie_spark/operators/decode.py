@@ -1,0 +1,55 @@
+"""Cascade decode: grids -> spans, with the reference's exact
+thresholds and tie-breaking.
+
+``decode_subjects`` reproduces models/spo_net/multi_pointer_net.py:79-93:
+start prob > 0.6, end prob > 0.5, each start pairs with the *first* end
+>= start, spans touching [CLS]/[SEP] are dropped.
+
+``decode_po`` reproduces run/DuIE/transformer_mpn_v2/train.py:371-379:
+start > 0.6, end > 0.5 over the [L,P,2] grid, np.where row-major
+candidate order, predicate equality, and *break after the first
+matching end* — the subtle tie-break the survey flags as
+P/R-drift-critical (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SUBJ_START_T = 0.6
+SUBJ_END_T = 0.5
+PO_START_T = 0.6
+PO_END_T = 0.5
+
+
+def decode_subjects(sub_grid: np.ndarray, n_wrapped: int) -> list[tuple[int, int]]:
+    """sub_grid: [L,2]; returns inclusive (start, end) wrapped spans."""
+    start = np.where(sub_grid[:, 0] > SUBJ_START_T)[0]
+    end = np.where(sub_grid[:, 1] > SUBJ_END_T)[0]
+    subjects: list[tuple[int, int]] = []
+    for i in start:
+        if i == 0 or i > n_wrapped - 2:
+            continue
+        j = end[end >= i]
+        if len(j) > 0:
+            j = j[0]
+            if j > n_wrapped - 2:
+                continue
+            subjects.append((int(i), int(j)))
+    return subjects
+
+
+def decode_po(po_grid: np.ndarray, n_wrapped: int) -> list[tuple[int, int, int]]:
+    """po_grid: [L,P,2]; returns (obj_start, obj_end, predicate_id) in
+    wrapped token indices."""
+    start = np.where(po_grid[:, :, 0] > PO_START_T)
+    end = np.where(po_grid[:, :, 1] > PO_END_T)
+    out: list[tuple[int, int, int]] = []
+    for _start, predicate1 in zip(*start):
+        if _start > n_wrapped - 2 or _start == 0:
+            continue
+        for _end, predicate2 in zip(*end):
+            if _start <= _end <= n_wrapped - 2 and predicate1 == predicate2:
+                out.append((int(_start), int(_end), int(predicate1)))
+                break
+    return out

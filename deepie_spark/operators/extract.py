@@ -1,0 +1,271 @@
+"""Distributed extraction stages (the CasRel cascade, Spark-first).
+
+Two physical strategies over the same kernels:
+
+**Fused path** (``extract_triples_fused``) — one ``mapInPandas`` pass:
+tokenize -> subject grid -> decode -> per-subject po grid -> decode ->
+assemble, all page-local.  Zero shuffles; this is the 100-TB production
+plan (the reference's cascade re-batches per subject only because GPU
+batching wants it — multi_pointer_net.py:96-123; on Spark the fan-out
+is page-local and free).
+
+**Staged path** (``stage_*`` functions) — explicit stage tables
+(texts -> tokens -> subjects -> po -> triples) for the checkpoint/
+resume/lineage story (north rule).  The subject fan-out is a real
+``explode``-style row expansion, the reference's ``.expand`` analogue.
+
+Both paths MUST produce identical triples (tested), and each page's
+result must equal the single-row oracle ``extract_page_py`` —
+byte-identical per url, independent of Arrow batch boundaries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from deepie_spark.config.schema import SpoSchema
+from deepie_spark.functions.scoring import TriggerModel
+from deepie_spark.functions.textnorm import clean_text_py, extract_text_py
+from deepie_spark.functions.tokenizer import (
+    WordPieceTokenizer,
+    load_vocab,
+    tokenize_with_offsets,
+    wrap_cls_sep,
+)
+from deepie_spark.functions.trie import build_alias_trie
+from deepie_spark.operators.assemble import assemble_triples
+from deepie_spark.operators.decode import decode_po, decode_subjects
+
+TRIPLES_DDL = (
+    "url string, subject string, subject_type string, predicate string, "
+    "object map<string,string>, object_type map<string,string>"
+)
+TOKENS_DDL = (
+    "url string, lang string, context string, tokens array<string>, "
+    "tok_start array<int>, tok_end array<int>"
+)
+SUBJECTS_DDL = TOKENS_DDL + ", s1 int, s2 int"
+PO_DDL = (
+    "url string, context string, tok_start array<int>, tok_end array<int>, "
+    "s1 int, s2 int, o1 int, o2 int, predicate_id int"
+)
+
+
+class PageExtractor:
+    """Driver-built, picklable bundle of tokenizer + alias trie + scorer.
+
+    Broadcast once per job; pandas-UDF workers deserialize it once per
+    python worker (module-level singleton pattern, mirroring the
+    reference's global tokenizer at data_loader_v2.py:15).
+    """
+
+    def __init__(
+        self,
+        schema: SpoSchema,
+        alias_rows: list[dict],
+        vocab: dict[str, int] | None = None,
+        max_seq_length: int = 256,
+    ):
+        self.schema = schema
+        self.max_seq_length = max_seq_length
+        self.tokenizer = WordPieceTokenizer(vocab or load_vocab())
+        self.trie = build_alias_trie(alias_rows, self._alias_tokens)
+        self.model = TriggerModel(schema, self.tokenizer, self.trie)
+
+    def _alias_tokens(self, alias: str) -> list[str]:
+        toks, _s, _e = tokenize_with_offsets(
+            alias, self.tokenizer, self.max_seq_length
+        )
+        return toks
+
+    # ---- single-row oracle ------------------------------------------------
+
+    def tokenize_page(self, text: str):
+        context = clean_text_py(text)
+        tokens, starts, ends = tokenize_with_offsets(
+            context, self.tokenizer, self.max_seq_length
+        )
+        return context, tokens, starts, ends
+
+    def extract_page_py(self, text: str) -> list[dict]:
+        """The per-url reference-semantics oracle: grids + exact decode."""
+        context, tokens, starts, ends = self.tokenize_page(text)
+        wrapped = wrap_cls_sep(tokens)
+        n = len(wrapped)
+        scan = self.model.scan(context, tokens, starts, ends)
+        sub_grid = self.model.subject_grid(scan, n)
+        spoes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+        for subject in decode_subjects(sub_grid, n):
+            po_grid = self.model.po_grid(scan, subject, n)
+            spoes.setdefault(subject, []).extend(decode_po(po_grid, n))
+        return assemble_triples(context, starts, ends, spoes, self.schema)
+
+
+# ---- fused distributed path ------------------------------------------------
+
+
+def _triples_to_rows(url: str, triples: list[dict]) -> list[tuple]:
+    return [
+        (
+            url,
+            t["subject"],
+            t["subject_type"],
+            t["predicate"],
+            t["object"],
+            t["object_type"],
+        )
+        for t in triples
+    ]
+
+
+def extract_triples_fused(pages_df, extractor_bc, text_col: str = "text"):
+    """pages -> triples in one mapInPandas pass (no shuffle).
+
+    ``extractor_bc``: ``sc.broadcast(PageExtractor)``.
+    """
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ex: PageExtractor = extractor_bc.value
+        cols = ["url", "subject", "subject_type", "predicate", "object", "object_type"]
+        for pdf in it:
+            rows: list[tuple] = []
+            for url, text in zip(pdf["url"], pdf[text_col]):
+                rows.extend(_triples_to_rows(url, ex.extract_page_py(text)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages_df.select("url", text_col).mapInPandas(kernel, TRIPLES_DDL)
+
+
+# ---- staged distributed path ------------------------------------------------
+
+
+def stage_texts(pages_df):
+    """pages -> (url, lang, text).  Drops the html binary column as early
+    as possible — at 100 TB the binary column must never cross a stage
+    boundary (SURVEY.md §7 risk list)."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "lang": pdf["lang"],
+                    "text": [extract_text_py(h) for h in pdf["html"]],
+                }
+            )
+
+    return pages_df.select("url", "lang", "html").mapInPandas(
+        kernel, "url string, lang string, text string"
+    )
+
+
+def stage_tokens(texts_df, extractor_bc):
+    """texts -> (url, lang, context, tokens, tok_start, tok_end)."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ex: PageExtractor = extractor_bc.value
+        for pdf in it:
+            out = {
+                "url": [], "lang": [], "context": [], "tokens": [],
+                "tok_start": [], "tok_end": [],
+            }
+            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
+                context, tokens, starts, ends = ex.tokenize_page(text)
+                out["url"].append(url)
+                out["lang"].append(lang)
+                out["context"].append(context)
+                out["tokens"].append(tokens)
+                out["tok_start"].append(starts)
+                out["tok_end"].append(ends)
+            yield pd.DataFrame(out)
+
+    return texts_df.mapInPandas(kernel, TOKENS_DDL)
+
+
+def stage_subjects(tokens_df, extractor_bc):
+    """tokens -> one row per decoded subject (the cascade fan-out;
+    reference zero-copy ``.expand``, multi_pointer_net.py:96-123)."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ex: PageExtractor = extractor_bc.value
+        cols = ["url", "lang", "context", "tokens", "tok_start", "tok_end", "s1", "s2"]
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                tokens = list(r.tokens)
+                n = len(tokens) + 2
+                scan = ex.model.scan(r.context, tokens, list(r.tok_start), list(r.tok_end))
+                grid = ex.model.subject_grid(scan, n)
+                for s1, s2 in decode_subjects(grid, n):
+                    rows.append(
+                        (r.url, r.lang, r.context, tokens,
+                         list(r.tok_start), list(r.tok_end), s1, s2)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return tokens_df.mapInPandas(kernel, SUBJECTS_DDL)
+
+
+def stage_po(subjects_df, extractor_bc):
+    """subjects -> decoded (url, s-span, o-span, predicate_id) rows."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ex: PageExtractor = extractor_bc.value
+        cols = ["url", "context", "tok_start", "tok_end", "s1", "s2", "o1", "o2",
+                "predicate_id"]
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                tokens = list(r.tokens)
+                n = len(tokens) + 2
+                scan = ex.model.scan(r.context, tokens, list(r.tok_start), list(r.tok_end))
+                po_grid = ex.model.po_grid(scan, (r.s1, r.s2), n)
+                po = decode_po(po_grid, n)
+                if not po:
+                    # subjects with no object still participate in
+                    # regrouping (empty spoes entry), keep a marker row
+                    rows.append((r.url, r.context, list(r.tok_start),
+                                 list(r.tok_end), r.s1, r.s2, -1, -1, -1))
+                for o1, o2, p in po:
+                    rows.append((r.url, r.context, list(r.tok_start),
+                                 list(r.tok_end), r.s1, r.s2, o1, o2, p))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return subjects_df.mapInPandas(kernel, PO_DDL)
+
+
+def stage_triples(po_df, extractor_bc):
+    """po rows -> assembled triples; regrouping is per-url local, so this
+    is a groupBy(url).applyInPandas (the reference's convert2ressult is
+    per-document state, train.py:262-353)."""
+    schema_holder = extractor_bc
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ex: PageExtractor = schema_holder.value
+        cols = ["url", "subject", "subject_type", "predicate", "object", "object_type"]
+        rows: list[tuple] = []
+        for url, grp in pdf.groupby("url", sort=False):
+            first = grp.iloc[0]
+            spoes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+            for r in grp.itertuples(index=False):
+                spoes.setdefault((r.s1, r.s2), [])
+                if r.predicate_id >= 0:
+                    spoes[(r.s1, r.s2)].append((r.o1, r.o2, r.predicate_id))
+            triples = assemble_triples(
+                first["context"], list(first["tok_start"]), list(first["tok_end"]),
+                spoes, ex.schema,
+            )
+            rows.extend(_triples_to_rows(url, triples))
+        return pd.DataFrame(rows, columns=cols)
+
+    return po_df.groupBy("url").applyInPandas(kernel, TRIPLES_DDL)
+
+
+def extract_triples_staged(pages_df, extractor_bc):
+    texts = stage_texts(pages_df)
+    tokens = stage_tokens(texts, extractor_bc)
+    subjects = stage_subjects(tokens, extractor_bc)
+    po = stage_po(subjects, extractor_bc)
+    return stage_triples(po, extractor_bc)

@@ -1,0 +1,74 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing uses ``local[N]``; on a real cluster the same confs
+apply (AQE, Arrow, skew-join). Shuffle partitions default to the local
+core count — on a 1000-executor cluster this should be set to
+~2-3x total cores via spark-submit conf, not here.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = Path(__file__).resolve().parent
+
+
+def build_pyfiles_zip(out_path: str | None = None) -> str:
+    """Zip the package for ``spark-submit --py-files`` / ``addPyFile``.
+
+    Python workers are separate processes: the driver's sys.path does
+    NOT propagate, so the package must be shipped explicitly (this is
+    the north rule's ``spark-submit --py-files`` deployment story).
+    """
+    out_path = out_path or os.path.join(
+        tempfile.gettempdir(), "deepie_spark_pyfiles.zip"
+    )
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for f in sorted(_PKG_DIR.rglob("*")):
+            if "__pycache__" in f.parts or not f.is_file():
+                continue
+            zf.write(f, Path("deepie_spark") / f.relative_to(_PKG_DIR))
+    return out_path
+
+
+def ship_package(spark: SparkSession) -> None:
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+
+
+def get_spark(
+    app_name: str = "deepie_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+    ship: bool = True,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        shuffle_partitions = 32 if n == "*" else int(n)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("DEEPIE_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if ship:
+        ship_package(spark)
+    return spark

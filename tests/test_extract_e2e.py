@@ -1,0 +1,84 @@
+"""End-to-end extraction: oracle P/R vs planted gold, distributed ==
+oracle (the per-url invariant), fused == staged, Arrow-batch invariance."""
+
+import pytest
+
+from deepie_spark.operators.extract import (
+    extract_triples_fused,
+    extract_triples_staged,
+)
+from deepie_spark.sources.synth import corpus_dataframes, gen_corpus
+
+N_PAGES = 250
+
+
+def _key(url, sub, pred, obj_map):
+    return (url, sub, pred, tuple(sorted(obj_map.items())))
+
+
+@pytest.fixture(scope="module")
+def corpus(world):
+    return gen_corpus(N_PAGES, world=world)
+
+
+def test_oracle_pr_vs_gold(corpus, extractor):
+    pages, gold, _ = corpus
+    gk = {_key(g["url"], g["subject"], g["predicate"], g["object"]) for g in gold}
+    pk = set()
+    for p in pages:
+        for t in extractor.extract_page_py(p["text"]):
+            pk.add(_key(p["url"], t["subject"], t["predicate"], t["object"]))
+    tp = len(gk & pk)
+    precision = tp / max(len(pk), 1)
+    recall = tp / max(len(gk), 1)
+    # north rule: P/R >= 0.95
+    assert precision >= 0.95, (precision, sorted(pk - gk)[:5])
+    assert recall >= 0.95, (recall, sorted(gk - pk)[:5])
+
+
+def _collect_triples(df):
+    return {
+        _key(r["url"], r["subject"], r["predicate"], dict(r["object"]))
+        for r in df.collect()
+    }
+
+
+def test_fused_equals_oracle(spark, corpus, extractor):
+    pages, _, world = corpus
+    pages_df, _, _ = corpus_dataframes(spark, N_PAGES)
+    bc = spark.sparkContext.broadcast(extractor)
+    got = _collect_triples(extract_triples_fused(pages_df, bc))
+    want = set()
+    for p in pages:
+        for t in extractor.extract_page_py(p["text"]):
+            want.add(_key(p["url"], t["subject"], t["predicate"], t["object"]))
+    assert got == want
+
+
+def test_staged_equals_fused(spark, corpus, extractor):
+    pages_df, _, _ = corpus_dataframes(spark, N_PAGES)
+    bc = spark.sparkContext.broadcast(extractor)
+    fused = _collect_triples(extract_triples_fused(pages_df, bc))
+    staged = _collect_triples(extract_triples_staged(pages_df, bc))
+    assert staged == fused
+    assert len(fused) > 0
+
+
+def test_arrow_batch_size_invariance(spark, extractor):
+    """Padding/decode must not depend on Arrow batch boundaries
+    (SURVEY.md §7 risk: test maxRecordsPerBatch in {1, 7, 1024})."""
+    pages_df, _, _ = corpus_dataframes(spark, 40)
+    bc = spark.sparkContext.broadcast(extractor)
+    results = []
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        for n in ("1", "7", "1024"):
+            spark.conf.set(key, n)
+            results.append(_collect_triples(extract_triples_fused(pages_df, bc)))
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    assert results[0] == results[1] == results[2]

@@ -1,0 +1,164 @@
+"""Entity canonicalization: connected components over a similarity graph.
+
+No reference analogue (its entity-linking module is empty) — this is
+the north rule's "distributed canonicalization via connected-components
+over a salted entity-similarity graph".
+
+Nodes are normalized surface keys (hashed to int64); edges come from
+  (a) alias co-membership: two aliases of the same canonical_id,
+  (b) exact normalized-surface equality between extracted surfaces and
+      aliases (implicit: same node id).
+Shared aliases between two entities merge their clusters — exactly the
+behavior CC is for.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14 — public), all
+DataFrame joins, ``localCheckpoint`` each round to cut lineage,
+convergence = edge set unchanged (count + xxhash fingerprint).  For
+star-shaped alias graphs this converges in 2-3 rounds; the iteration
+cap guards pathological chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge normal form: src < dst, deduped, no self loops."""
+    e = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    return e.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.pmod(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(2**62),
+            ).cast("long"),
+            F.lit(0),
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m = min(N(u) ∪ {u})."""
+    nbrs = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        nbrs.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each u, connect all neighbors v <= u (and u) to their min."""
+    # direct edges so that src >= dst
+    d = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = d.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    out = (
+        d.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(m.select(F.col("src"), F.col("m").alias("dst")))
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """edges(src bigint, dst bigint) -> (node bigint, component bigint)
+    where component = min node id of the cluster."""
+    e = _canon_edges(edges).localCheckpoint(eager=True)
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _canon_edges(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # edges are kept in canonical (src < dst) form, so at convergence
+    # each edge reads (component_root, member)
+    comp = e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+    comp = comp.groupBy("node").agg(F.min("component").alias("component"))
+    return (
+        nodes.join(comp, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+
+
+def node_id(col):
+    """Stable int64 node id for a normalized surface key."""
+    return F.xxhash64(col)
+
+
+def alias_edges(alias_dim: DataFrame) -> DataFrame:
+    """Edges connecting all normalized aliases of one canonical entity
+    (star around the entity's min alias node)."""
+    a = alias_dim.select(
+        node_id("norm_key").alias("node"), F.col("canonical_id")
+    ).distinct()
+    hub = a.groupBy("canonical_id").agg(F.min("node").alias("hub"))
+    return (
+        a.join(hub, "canonical_id")
+        .where(F.col("node") != F.col("hub"))
+        .select(F.col("node").alias("src"), F.col("hub").alias("dst"))
+    )
+
+
+def canonicalize_entities(
+    linked_triples: DataFrame, alias_dim: DataFrame, extractor_bc
+) -> DataFrame:
+    """Assign a cluster id to every distinct subject/object surface.
+
+    Returns (norm_key, node, component, canonical_id) — canonical_id is
+    the smallest linked dictionary id in the component (null for
+    literal-only clusters)."""
+    from deepie_spark.operators.linking import norm_key_udf
+
+    norm = norm_key_udf(extractor_bc)
+    surfaces = (
+        linked_triples.select(norm("subject").alias("norm_key"))
+        .union(linked_triples.select(norm(F.col("object")["@value"]).alias("norm_key")))
+        .where(F.col("norm_key").isNotNull())
+        .distinct()
+    )
+    surf_nodes = surfaces.withColumn("node", node_id("norm_key"))
+    # surfaces that exactly match an alias share the alias node id, so
+    # alias-star edges connect them transitively
+    edges = alias_edges(alias_dim)
+    # self-edges keep isolated surfaces as singleton components
+    comp = connected_components(edges)
+    out = surf_nodes.join(comp, "node", "left").withColumn(
+        "component", F.coalesce("component", F.col("node"))
+    )
+    best_alias = (
+        alias_dim.select(
+            node_id("norm_key").alias("node"), "canonical_id"
+        )
+        .join(comp, "node", "left")
+        .withColumn("component", F.coalesce("component", F.col("node")))
+        .groupBy("component")
+        .agg(F.min("canonical_id").alias("cluster_canonical_id"))
+    )
+    return out.join(best_alias, "component", "left")

@@ -1,0 +1,195 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Beyond the reference's own surface (its only dedup is triple-set dedup
+before scoring, train.py:231-233), these are the corpus-curation ops a
+100-TB training-data pipeline needs: exact hash dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding near-dup (see similarity.py).
+
+Design rules:
+  - everything is pure Catalyst column expressions (whole-stage
+    codegen); no Python UDFs anywhere;
+  - MinHash signatures are computed with ``aggregate`` + ``zip_with``
+    over the shingle array — a single projection, NO explode and NO
+    shuffle for signature computation (at 10^12 docs the explode
+    (doc x shingle x seed) pattern is the classic scale killer);
+  - hashes are md5-prefix bigints, bit-identical between Spark
+    (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+    (``('0x'||substr(md5(x),1,15))::BIGINT``) so every op is
+    oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def portable_hash(col, seed: int | None = None):
+    """Deterministic 60-bit hash identical in Spark and DuckDB."""
+    x = F.concat(F.lit(f"{seed}|"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+
+
+def char_shingles(col, k: int = 5):
+    """Lowercased char k-grams as an array column (short texts yield one
+    padded shingle)."""
+    low = F.lower(col)
+    n_shingles = F.greatest(F.length(low), F.lit(k)) - F.lit(k) + F.lit(1)
+    return F.transform(
+        F.sequence(F.lit(1), n_shingles), lambda i: low.substr(i, F.lit(k))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keeps the smallest id per hash,
+    marks the rest.  Returns (id, text_hash, keep)."""
+    h = F.md5(F.col(text_col)).alias("text_hash")
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col))
+    return (
+        docs.select(F.col(id_col), h)
+        .withColumn("rn", F.row_number().over(w))
+        .select(id_col, "text_hash", (F.col("rn") == 1).alias("keep"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, signature array<bigint>) — one projection, no shuffle.
+
+    signature[i] = min over shingles of hash(i, shingle); empty/short
+    docs get the hash of their whole (padded) text."""
+    sh = char_shingles(F.col(text_col), shingle_k)
+    max_h = F.lit(2**60)
+    init = F.array_repeat(max_h, n_hashes)
+    seeds = list(range(n_hashes))
+
+    def step(acc, shingle):
+        hs = F.array(*[portable_hash(shingle, s) for s in seeds])
+        return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+
+    sig = F.aggregate(sh, init, step)
+    return docs.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_bands(
+    signatures: DataFrame, n_bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Signature -> (id, band_id, band_hash).  Docs agreeing on any full
+    band land in the same bucket."""
+    n_hashes_col = F.size("signature")
+    rows_per_band = (n_hashes_col / n_bands).cast("int")
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.md5(
+                F.to_json(F.slice("signature", b * rows_per_band + 1, rows_per_band))
+            ).alias("band_hash"),
+        ),
+    )
+    return (
+        signatures.select(F.col(id_col), F.explode(bands).alias("b"))
+        .select(id_col, F.col("b.band_id"), F.col("b.band_hash"))
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Bucket self-join -> distinct candidate pairs (a < b).
+
+    Scale note: the join key is (band_id, band_hash); a degenerate
+    bucket (e.g. empty docs) becomes a quadratic hot key — cap bucket
+    size upstream or salt; AQE skew-join covers moderate cases."""
+    a = bands.select(F.col(id_col).alias("a"), "band_id", "band_hash")
+    b = bands.select(F.col(id_col).alias("b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Word n-gram Jaccard similarity pairs >= threshold.
+
+    Relational plan: explode distinct n-grams, self-join on the n-gram
+    (or restrict to LSH ``candidates``), count intersections, compute
+    |A|+|B|-inter as union.  The n-gram join is the shuffle; at scale
+    feed LSH candidates instead of the full self-join."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    g = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    sizes = g.select("id", F.size("grams").alias("sz"))
+    ex = g.select("id", F.explode("grams").alias("gram"))
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), "gram")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_bits: int = 16,
+) -> DataFrame:
+    """Word-level SimHash: per bit, majority vote of token-hash bits
+    weighted by term frequency; relational two-stage aggregation
+    (explode words -> per-bit signed sums -> recombine)."""
+    toks = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    words = docs.select(F.col(id_col).alias("id"), toks).where(F.col("w") != "")
+    wh = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    wh = wh.withColumn("h", portable_hash(F.col("w"), 0))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"b{b}")
+        for b in range(n_bits)
+    ]
+    agg = wh.groupBy("id").agg(*bit_sums)
+    sim = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col("id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_dup_groups(sim: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact-simhash buckets with >1 member (near-dup groups)."""
+    return (
+        sim.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.col("n") > 1)
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+random-hyperplane LSH bucketing (deterministic seeded planes), which
+turns the quadratic all-pairs problem into per-bucket local joins.
+
+All dot products are ``zip_with`` + ``aggregate`` column expressions —
+JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (l2norm(a) * l2norm(b) + F.lit(1e-12))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine against one query vector: a single
+    scan + projection + global top-k (orderBy+limit -> TakeOrdered,
+    no full sort shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def pairwise_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k neighbors for each query row: broadcast the (small) query
+    set against the big corpus, window top-k per query."""
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = embeddings.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("qvec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in {-1,+1}^dim derived
+    from md5 — reproducible across sessions with no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Bit-signature: sign of <v, plane_p> for each plane, packed into a
+    bigint bucket id."""
+    sig = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec_col, p) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("bigint")
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature(F.col(vec_col), _planes(dim, n_planes, seed)).alias("bucket"),
+    )
+
+
+def lsh_ann_pairs(
+    buckets: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs above a cosine threshold, restricted to
+    same-bucket candidates: the per-bucket self-join replaces the
+    quadratic crossJoin (the 100-TB plan; recall tunable via n_planes
+    and multi-probe)."""
+    a = buckets.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("score"))
+        .where(F.col("score") >= threshold)
+    )

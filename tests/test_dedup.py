@@ -1,0 +1,81 @@
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from deepie_spark.operators import dedup as D
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over the very lazy dog"),     # near dup
+    (3, "completely different text about spark and shuffles"),
+    (4, "spark shuffles are completely different from joins"),
+    (5, "zzz"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string").cache()
+
+
+def test_portable_hash_matches_duckdb(spark):
+    df = spark.createDataFrame([("abc",), ("xyz 123",)], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", D.portable_hash(F.col("s")).alias("h")).collect()}
+    for s, h in got.items():
+        want = duckdb.sql(
+            f"select ('0x'||substr(md5('{s}'),1,15))::BIGINT"
+        ).fetchone()[0]
+        assert h == want
+
+
+def test_exact_dedup(docs):
+    rows = {r["doc_id"]: r["keep"] for r in D.exact_dedup(docs).collect()}
+    assert rows[0] is True and rows[1] is False
+    assert all(rows[i] for i in (2, 3, 4, 5))
+
+
+def test_minhash_identical_and_near(docs):
+    sigs = {r["doc_id"]: r["signature"] for r in D.minhash_signatures(docs, n_hashes=16).collect()}
+    assert all(len(s) == 16 for s in sigs.values())
+    assert sigs[0] == sigs[1]
+    same_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    same_far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert same_near > same_far
+    assert same_near >= 8  # near-dup shares most minhashes
+
+
+def test_lsh_candidates_find_planted_dups(docs):
+    sigs = D.minhash_signatures(docs, n_hashes=16)
+    pairs = {
+        (r["a"], r["b"])
+        for r in D.lsh_candidate_pairs(D.lsh_bands(sigs, n_bands=8)).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert (3, 5) not in pairs
+
+
+def test_ngram_jaccard_matches_python(docs):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, n=2, threshold=0.2).collect()
+    }
+
+    def grams(t, n=2):
+        ws = t.lower().split(" ")
+        return set(" ".join(ws[i : i + n]) for i in range(max(len(ws) - n + 1, 1)))
+
+    for (a, b), j in got.items():
+        ga, gb = grams(DOCS[a][1]), grams(DOCS[b][1])
+        want = len(ga & gb) / len(ga | gb)
+        assert abs(j - want) < 1e-9
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_simhash_identical_same_bucket(docs):
+    sim = D.simhash(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert rows[0] == rows[1]
+    groups = D.simhash_dup_groups(sim).collect()
+    assert any(set(g["ids"]) >= {0, 1} for g in groups)

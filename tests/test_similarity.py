@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepie_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    return {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+
+def _cos(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_cosine_topk_matches_numpy(emb, emb_np):
+    q = emb_np[0]
+    got = [(r["vec_id"], r["score"]) for r in S.cosine_topk(emb, q.tolist(), k=5).collect()]
+    want = sorted(
+        ((vid, _cos(v, q)) for vid, v in emb_np.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-6
+
+
+def test_pairwise_topk_matches_numpy(emb, emb_np):
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = S.pairwise_topk(emb, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["score"]))
+    for qid in (0, 1, 2):
+        q = emb_np[qid]
+        want = sorted(
+            ((vid, _cos(v, q)) for vid, v in emb_np.items() if vid != qid),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        ours = sorted(by_q[qid])
+        assert [o[1] for o in ours] == [w[0] for w in want]
+
+
+def test_lsh_ann_recall_on_planted_near_dups(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 16))
+    rows, planted = [], []
+    vid = 0
+    for i in range(40):
+        rows.append((vid, base[i].astype(float).tolist()))
+        vid += 1
+        if i % 4 == 0:  # plant a near-duplicate
+            noisy = base[i] + rng.normal(scale=0.01, size=16)
+            rows.append((vid, noisy.astype(float).tolist()))
+            planted.append((vid - 1, vid))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    buckets = S.lsh_buckets(df, dim=16, n_planes=6)
+    pairs = {(r["a"], r["b"]) for r in S.lsh_ann_pairs(buckets, threshold=0.99).collect()}
+    hit = sum(1 for p in planted if p in pairs)
+    assert hit / len(planted) >= 0.6  # recall of the bucketed path
+    # precision: every reported pair really is above threshold
+    assert all(a < b for a, b in pairs)
+
+
+def test_dot_and_norm_exprs(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>")
+    r = df.select(
+        S.dot(F.col("a"), F.col("b")).alias("d"),
+        S.l2norm(F.col("a")).alias("n"),
+        S.cosine(F.col("a"), F.col("b")).alias("c"),
+    ).first()
+    assert abs(r["d"] - 32.0) < 1e-9
+    assert abs(r["n"] - np.sqrt(14)) < 1e-9
+    assert abs(r["c"] - 32 / (np.sqrt(14) * np.sqrt(77))) < 1e-9

@@ -88,7 +88,9 @@ def lsh_bands(
         lambda b: F.struct(
             b.alias("band_id"),
             F.md5(
-                F.to_json(F.slice("signature", b * rows_per_band + 1, rows_per_band))
+                F.concat_ws(
+                    ",", F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                )
             ).alias("band_hash"),
         ),
     )

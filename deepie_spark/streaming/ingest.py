@@ -1,0 +1,75 @@
+"""Structured Streaming lift of the batch pipeline.
+
+The reference has no streaming (SURVEY.md §2.10) and the north rule
+needs batch passes + resumable checkpoints, not state stores — but a
+streaming crawl ingest is the natural extension: the SAME stage
+functions run inside ``foreachBatch``, with Spark's checkpoint dir
+giving exactly-once per micro-batch and the lakehouse MERGE making
+replays idempotent (triple_key upsert).
+
+Also provides the standard watermark + tumbling-window aggregation
+over the events table shape (late data handled by the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepie_spark.operators.extract import extract_triples_fused
+from deepie_spark.operators.metrics import obj_key
+from deepie_spark.sources.lakehouse import Lakehouse
+
+
+def stream_pages_to_kg(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    extractor_bc,
+    lake_root: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """pages stream -> fused extraction -> MERGE into kg_triples per
+    micro-batch.  Returns the StreamingQuery."""
+    lake = Lakehouse(lake_root, spark)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        triples = extract_triples_fused(batch_df, extractor_bc)
+        keyed = triples.withColumn("object_key", obj_key(F.col("object"))).withColumn(
+            "triple_key",
+            F.xxhash64("url", "subject", "predicate", "object_key"),
+        )
+        lake.merge_upsert(keyed, "kg_triples", ["triple_key"],
+                          run_id=f"stream-batch-{batch_id}")
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark —
+    the canonical streaming aggregation shape."""
+    # watermarks require TIMESTAMP (parquet often yields TIMESTAMP_NTZ)
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )

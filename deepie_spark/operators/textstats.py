@@ -88,11 +88,11 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
     return docs.select(
         F.col(id_col),
-        F.round(len_score, 6).alias("len_score"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(score, 6).alias("quality"),
+        len_score.alias("len_score"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality"),
     )
 
 

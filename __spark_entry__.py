@@ -43,7 +43,13 @@ def _ensure(spark: SparkSession):
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the documents table is one small parquet file -> one input split;
+    # the hash-heavy ops here are CPU-bound per row, so spread rows
+    # across cores explicitly (at 100 TB the scan naturally yields
+    # thousands of splits and this repartition disappears)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark, sf_dir):
@@ -451,12 +457,19 @@ def _lang_hits_sql(lang):
 
 
 def oracle_sql() -> dict[str, str]:
-    seeds8 = "range(0, 8)"
+    from deepie_spark.operators.dedup import minhash_params
+
+    params8 = minhash_params(8)
+    seeds8_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(params8)
+    )
+    seeds8 = f"(SELECT * FROM (VALUES {seeds8_values}) AS t(seed, a, b))"
     shingles5 = (
         "[substr(lower(text), i, 5) "
         "for i in range(1, greatest(length(text), 5) - 5 + 2)]"
     )
-    mh = _H.format(x="s.seed || '|' || sh.sh")
+    base28 = "('0x'||substr(md5(sh.sh),1,7))::BIGINT"
+    mh = f"(s.a * {base28} + s.b) % 2147483648"
 
     lang_best = " , ".join(_lang_hits_sql(lg) for lg in LANG_SQL_MARKERS)
     lang_case = (
@@ -516,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash": f"""
             WITH sh AS (
                 SELECT doc_id, unnest({shingles5}) AS sh FROM documents
-            ), s AS (SELECT unnest({seeds8}) AS seed)
+            ), s AS {seeds8}
             SELECT sh.doc_id, CAST(s.seed AS INTEGER) AS seed, min({mh}) AS minhash
             FROM sh CROSS JOIN s
             GROUP BY sh.doc_id, s.seed
@@ -524,7 +537,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs": f"""
             WITH sh AS (
                 SELECT doc_id, unnest({shingles5}) AS sh FROM documents
-            ), s AS (SELECT unnest({seeds8}) AS seed),
+            ), s AS {seeds8},
             mh AS (
                 SELECT sh.doc_id, s.seed, min({mh}) AS h
                 FROM sh CROSS JOIN s GROUP BY sh.doc_id, s.seed

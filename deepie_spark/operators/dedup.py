@@ -52,6 +52,25 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * base(x) + b_i) mod 2^31 with base(x) a 28-bit
+    md5-prefix — one md5 per shingle total, the rest cheap arithmetic
+    (the classic minwise-hashing construction)."""
+    params = []
+    a, b = 40503, 12289
+    for _ in range(n_hashes):
+        params.append((a | 1, b))
+        a = (a * 48271 + 11) % 32749
+        b = (b * 16807 + 7) % 32749
+    return params
+
+
+def minhash_base(col):
+    """28-bit base hash: first 7 hex chars of md5 (cross-engine)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -61,16 +80,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<bigint>) — one projection, no shuffle.
 
-    signature[i] = min over shingles of hash(i, shingle); empty/short
-    docs get the hash of their whole (padded) text."""
+    signature[i] = min over shingles of (a_i*md5_28(shingle)+b_i) mod
+    2^31.  One md5 per shingle (not per shingle x seed): at 10^12 docs
+    the hash count is the dominant CPU cost of dedup."""
     sh = char_shingles(F.col(text_col), shingle_k)
-    max_h = F.lit(2**60)
-    init = F.array_repeat(max_h, n_hashes)
-    seeds = list(range(n_hashes))
+    params = minhash_params(n_hashes)
+    mod = F.lit(2**31)
+    init = F.array_repeat(F.lit(2**31).cast("bigint"), n_hashes)
 
     def step(acc, shingle):
-        hs = F.array(*[portable_hash(shingle, s) for s in seeds])
-        return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+        base = minhash_base(shingle)
+        hs = F.array(*[(F.lit(a) * base + F.lit(b)) % mod for a, b in params])
+        return F.zip_with(acc, hs, lambda x, y: F.least(x, y))
 
     sig = F.aggregate(sh, init, step)
     return docs.select(F.col(id_col), sig.alias("signature"))

@@ -34,13 +34,23 @@ _DIGIT_RE = re.compile(r"\d")
 _DEFAULT_VOCAB = Path(__file__).resolve().parent.parent / "resources" / "vocab.txt"
 
 
-def load_vocab(path: str | Path = _DEFAULT_VOCAB) -> dict[str, int]:
+def load_vocab(path: str | Path | None = None) -> dict[str, int]:
+    """Load the pinned vocab.  Default goes through importlib.resources
+    so it works when the package ships as a --py-files zip (plain
+    ``open()`` cannot read inside a zip)."""
+    if path is None:
+        from importlib import resources
+
+        text = (
+            resources.files("deepie_spark") / "resources" / "vocab.txt"
+        ).read_text(encoding="utf-8")
+    else:
+        text = Path(path).read_text(encoding="utf-8")
     vocab: dict[str, int] = {}
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            tok = line.rstrip("\n")
-            if tok and tok not in vocab:
-                vocab[tok] = len(vocab)
+    for line in text.splitlines():
+        tok = line.rstrip("\n")
+        if tok and tok not in vocab:
+            vocab[tok] = len(vocab)
     return vocab
 
 

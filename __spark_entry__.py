@@ -412,6 +412,25 @@ def q_ner_spans(spark, sf_dir):
     return ner_spans(df, scheme="bio")
 
 
+def q_attributes(spark, sf_dir):
+    """Entity-conditioned attribute extraction on the deterministic
+    fixture (rows-only: covered by pytest oracles, non-SQL decode)."""
+    _ensure(spark)
+    from deepie_spark.operators.attributes import (
+        AttributeExtractor,
+        extract_attributes,
+    )
+    from deepie_spark.sources.synth import gen_attribute_corpus
+
+    n = max(_pages_count(sf_dir) // 3, 50)
+    recs = gen_attribute_corpus(n)
+    df = spark.createDataFrame(
+        [(r["rec_id"], r["text"]) for r in recs], "rec_id bigint, text string"
+    )
+    bc = spark.sparkContext.broadcast(AttributeExtractor())
+    return extract_attributes(df, bc)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_triples": q_flagship,
@@ -439,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "connected_components": q_connected_components,
         "ner_spans": q_ner_spans,
+        "attributes": q_attributes,
     }
 
 

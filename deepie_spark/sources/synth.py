@@ -329,6 +329,53 @@ def gen_corpus(
     return pages, gold, world
 
 
+def gen_attribute_corpus(n_records: int, seed: int = SEED, world: World | None = None):
+    """Attribute-extraction fixture (FIXTURES.md §6): records with an
+    entity span and planted attribute values; spans satisfy the
+    reference's asserts ``text[start:end] == value``
+    (attribute_extraction/data_loader.py:135, 155)."""
+    from deepie_spark.operators.attributes import SYNTH_ATTRS
+
+    world = world or gen_world(seed)
+    rng = random.Random(seed * 7 + n_records)
+    value_range = {
+        "dose": (100, 999),
+        "duration": (10000, 99999),
+        "frequency": (10, 99),
+        "onset": (1900, 2025),
+    }
+    persons = world.by_type_lang[("Person", "en")]
+    out = []
+    for rec_id in range(n_records):
+        ent = rng.choice(persons).name
+        n_attrs = rng.randint(1, len(SYNTH_ATTRS))
+        chosen = SYNTH_ATTRS[:n_attrs]
+        parts = [f"{ent} was treated"]
+        attrs = []
+        for a in chosen:
+            lo, hi = value_range[a.name]
+            val = str(rng.randint(lo, hi))
+            parts.append(f"{a.trigger} {val}")
+            attrs.append({"type": a.name, "value": val})
+        text = " ".join(parts) + "."
+        for a in attrs:
+            start = text.index(a["value"])
+            a["start"], a["end"] = start, start + len(a["value"])
+            assert text[a["start"]:a["end"]] == a["value"]
+        assert text[: len(ent)] == ent
+        out.append(
+            {
+                "rec_id": rec_id,
+                "text": text,
+                "entity_name": ent,
+                "entity_start": 0,
+                "entity_end": len(ent),
+                "attributes": attrs,
+            }
+        )
+    return out
+
+
 def corpus_dataframes(spark, n_pages: int, seed: int = SEED):
     """(pages_df, gold_df, alias_df) as Spark DataFrames."""
     from pyspark.sql import types as T

@@ -1,0 +1,76 @@
+"""Physical-plan audits: the plan properties that matter at 100 TB.
+
+Each assertion pins a scale property: filters reach the parquet scan,
+column pruning works, small dims broadcast, the fused extraction path
+is shuffle-free, salted aggregation is two-phase.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from deepie_spark.operators.extract import extract_triples_fused
+from deepie_spark.sources.synth import corpus_dataframes
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    p = plan_of(em.q_pricing_summary(spark, SF))
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:200]
+    # column pruning: unused columns never read
+    read_schema = p.split("ReadSchema", 1)[1][:400]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_sum" in p and "hashpartitioning" in p
+
+
+def test_revenue_join_broadcasts_dims(spark):
+    p = plan_of(em.q_revenue_by_nation(spark, SF))
+    # every dim join broadcasts; no sort-merge shuffle join anywhere
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    # the fact table is scanned, not broadcast: BuildRight with lineitem
+    # as the left (streamed) child of the innermost join
+    assert "BuildRight" in p
+
+
+def test_fused_extraction_is_shuffle_free(spark, extractor):
+    pages_df, _, _ = corpus_dataframes(spark, 20)
+    bc = spark.sparkContext.broadcast(extractor)
+    p = plan_of(extract_triples_fused(pages_df, bc))
+    assert "Exchange" not in p  # zero shuffles end-to-end
+    assert "MapInPandas" in p
+    # html/binary column pruned before the python stage
+    assert "html" not in p.split("MapInPandas", 1)[0]
+
+
+def test_extraction_scan_prunes_html_from_parquet(spark, extractor, tmp_path):
+    pages_df, _, _ = corpus_dataframes(spark, 20)
+    path = str(tmp_path / "pages")
+    pages_df.write.parquet(path)
+    bc = spark.sparkContext.broadcast(extractor)
+    p = plan_of(extract_triples_fused(spark.read.parquet(path), bc))
+    read_schema = p.split("ReadSchema", 1)[1][:300]
+    assert "html" not in read_schema and "warc_ts" not in read_schema
+
+
+def test_salted_count_is_two_phase(spark):
+    p = plan_of(em.q_salted_source_counts(spark, SF))
+    # partial agg on (key, salt), exchange, final agg on key
+    assert p.count("HashAggregate") >= 2
+
+
+def test_mention_alias_join_broadcasts(spark):
+    p = plan_of(em.q_mention_candidates(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ann_topk_take_ordered_not_global_sort(spark):
+    p = plan_of(em.q_ann_topk(spark, SF))
+    assert "TakeOrderedAndProject" in p  # no full sort shuffle for top-k

@@ -161,6 +161,16 @@ def q_minhash(spark, sf_dir):
     )
 
 
+def q_minhash_fast(spark, sf_dir):
+    """Numpy fast-path MinHash (rows-only: different hash family from
+    the oracle-checked expression version; accuracy covered by pytest)."""
+    _ensure(spark)
+    from deepie_spark.operators.dedup import minhash_signatures_fast
+
+    sig = minhash_signatures_fast(_docs(spark, sf_dir), n_hashes=8)
+    return sig.select("doc_id", F.posexplode("signature").alias("seed", "minhash"))
+
+
 def q_lsh_pairs(spark, sf_dir):
     from deepie_spark.operators.dedup import (
         lsh_bands,
@@ -439,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_ranked": q_vocab_ranked,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash": q_minhash,
+        "minhash_fast": q_minhash_fast,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,

@@ -36,7 +36,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TMP = Path(os.environ.get("DEEPIE_BENCH_TMP", "/tmp/deepie_bench"))
 
 BENCH_QUERIES = [
-    "minhash", "simhash", "token_counts", "quality",
+    "minhash", "minhash_fast", "simhash", "token_counts", "quality",
     "lang_id", "doc_fingerprint", "pricing_summary", "revenue_by_nation",
     "top_orders_per_customer", "event_sessions", "connected_components",
 ]

@@ -22,10 +22,20 @@ PO_START_T = 0.6
 PO_END_T = 0.5
 
 
-def decode_subjects(sub_grid: np.ndarray, n_wrapped: int) -> list[tuple[int, int]]:
+# the non-BERT ETL-Span cascade decodes at 0.5/0.4 instead
+# (models/spo_net/etl_span.py:106-107; etl_span/train.py:292-293)
+ETL_SPAN_THRESHOLDS = (0.5, 0.4)
+
+
+def decode_subjects(
+    sub_grid: np.ndarray,
+    n_wrapped: int,
+    start_t: float = SUBJ_START_T,
+    end_t: float = SUBJ_END_T,
+) -> list[tuple[int, int]]:
     """sub_grid: [L,2]; returns inclusive (start, end) wrapped spans."""
-    start = np.where(sub_grid[:, 0] > SUBJ_START_T)[0]
-    end = np.where(sub_grid[:, 1] > SUBJ_END_T)[0]
+    start = np.where(sub_grid[:, 0] > start_t)[0]
+    end = np.where(sub_grid[:, 1] > end_t)[0]
     subjects: list[tuple[int, int]] = []
     for i in start:
         if i == 0 or i > n_wrapped - 2:
@@ -39,11 +49,16 @@ def decode_subjects(sub_grid: np.ndarray, n_wrapped: int) -> list[tuple[int, int
     return subjects
 
 
-def decode_po(po_grid: np.ndarray, n_wrapped: int) -> list[tuple[int, int, int]]:
+def decode_po(
+    po_grid: np.ndarray,
+    n_wrapped: int,
+    start_t: float = PO_START_T,
+    end_t: float = PO_END_T,
+) -> list[tuple[int, int, int]]:
     """po_grid: [L,P,2]; returns (obj_start, obj_end, predicate_id) in
     wrapped token indices."""
-    start = np.where(po_grid[:, :, 0] > PO_START_T)
-    end = np.where(po_grid[:, :, 1] > PO_END_T)
+    start = np.where(po_grid[:, :, 0] > start_t)
+    end = np.where(po_grid[:, :, 1] > end_t)
     out: list[tuple[int, int, int]] = []
     for _start, predicate1 in zip(*start):
         if _start > n_wrapped - 2 or _start == 0:

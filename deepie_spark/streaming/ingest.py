@@ -54,6 +54,39 @@ def stream_pages_to_kg(
     return writer.start()
 
 
+def stateful_user_progress(events_stream: DataFrame):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running counters (event count, value sum, last seen ts)
+    maintained across micro-batches — the state-store pattern the
+    built-in windowed aggregates can't express (arbitrary per-key
+    state + custom update logic)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, last = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, float(pdf["ts"].astype("int64").max() / 1e9))
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double, last double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_duration: str = "1 minute",

@@ -73,6 +73,36 @@ def test_ngram_jaccard_matches_python(docs):
     assert (0, 1) in got and got[(0, 1)] == 1.0
 
 
+def test_minhash_fast_properties(spark, docs):
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in D.minhash_signatures_fast(docs, n_hashes=32).collect()
+    }
+    sigs2 = {
+        r["doc_id"]: r["signature"]
+        for r in D.minhash_signatures_fast(docs, n_hashes=32).collect()
+    }
+    assert sigs == sigs2  # deterministic
+    assert sigs[0] == sigs[1]  # exact dups -> identical signatures
+    # jaccard estimation: near pair agrees on more hashes than far pair
+    near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert near > far and near >= 16
+
+
+def test_minhash_fast_arrow_batch_invariance(spark, docs):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    outs = []
+    for n in ("1", "512"):
+        spark.conf.set(key, n)
+        outs.append(
+            {r["doc_id"]: r["signature"]
+             for r in D.minhash_signatures_fast(docs).collect()}
+        )
+    spark.conf.unset(key)
+    assert outs[0] == outs[1]
+
+
 def test_simhash_identical_same_bucket(docs):
     sim = D.simhash(docs)
     rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}

@@ -45,6 +45,38 @@ def test_windowed_event_counts_batch_semantics(spark):
     assert total == events.count()
 
 
+def test_stateful_user_progress(spark, tmp_path):
+    from deepie_spark.streaming.ingest import stateful_user_progress
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "ev_state"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    out = stateful_user_progress(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("userprog")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            "select user_id, max(n_events) n_events, max(total_value) total_value "
+            "from userprog group by user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_windowed_event_counts_streaming(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src = tmp_path / "ev"

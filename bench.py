@@ -177,6 +177,16 @@ def main() -> None:
             "efficiency_8_to_32": round(thr[32] / (4 * thr[8]), 3),
             "host_cpu_probe": _cpu_probe(),
         }
+        # normalize by what the host itself could scale at this moment:
+        # engine efficiency / probe efficiency isolates engine overhead
+        # from noisy-neighbor throttling
+        probe = result["scaling"]["host_cpu_probe"]
+        for pair in ("2_to_8", "8_to_32"):
+            pe = probe[f"probe_efficiency_{pair}"]
+            if pe > 0:
+                result["scaling"][f"efficiency_{pair}_host_normalized"] = round(
+                    min(result["scaling"][f"efficiency_{pair}"] / pe, 1.0), 3
+                )
 
     print(json.dumps(result))
 

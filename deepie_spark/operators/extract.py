@@ -215,12 +215,21 @@ def stage_po(subjects_df, extractor_bc):
         ex: PageExtractor = extractor_bc.value
         cols = ["url", "context", "tok_start", "tok_end", "s1", "s2", "o1", "o2",
                 "predicate_id"]
+        last_url, last_scan = None, None
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 tokens = list(r.tokens)
                 n = len(tokens) + 2
-                scan = ex.model.scan(r.context, tokens, list(r.tok_start), list(r.tok_end))
+                # subjects of one page arrive adjacent (fan-out order):
+                # memoize the page-level scan across them
+                if r.url == last_url:
+                    scan = last_scan
+                else:
+                    scan = ex.model.scan(
+                        r.context, tokens, list(r.tok_start), list(r.tok_end)
+                    )
+                    last_url, last_scan = r.url, scan
                 po_grid = ex.model.po_grid(scan, (r.s1, r.s2), n)
                 po = decode_po(po_grid, n)
                 if not po:
@@ -237,30 +246,44 @@ def stage_po(subjects_df, extractor_bc):
 
 
 def stage_triples(po_df, extractor_bc):
-    """po rows -> assembled triples; regrouping is per-url local, so this
-    is a groupBy(url).applyInPandas (the reference's convert2ressult is
-    per-document state, train.py:262-353)."""
-    schema_holder = extractor_bc
+    """po rows -> assembled triples.  Regrouping is per-url local
+    (the reference's convert2ressult is per-document state,
+    train.py:262-353); physically it's a JVM-side ``collect_list``
+    pack per url followed by ONE mapInPandas pass — NOT
+    groupBy.applyInPandas, whose per-group pandas materialization is
+    ruinous for millions of tiny (one-page) groups."""
+    from pyspark.sql import functions as F
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        ex: PageExtractor = schema_holder.value
+    packed = po_df.groupBy("url").agg(
+        F.first("context").alias("context"),
+        F.first("tok_start").alias("tok_start"),
+        F.first("tok_end").alias("tok_end"),
+        F.collect_list(
+            F.struct("s1", "s2", "o1", "o2", "predicate_id")
+        ).alias("pos"),
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ex: PageExtractor = extractor_bc.value
         cols = ["url", "subject", "subject_type", "predicate", "object", "object_type"]
-        rows: list[tuple] = []
-        for url, grp in pdf.groupby("url", sort=False):
-            first = grp.iloc[0]
-            spoes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
-            for r in grp.itertuples(index=False):
-                spoes.setdefault((r.s1, r.s2), [])
-                if r.predicate_id >= 0:
-                    spoes[(r.s1, r.s2)].append((r.o1, r.o2, r.predicate_id))
-            triples = assemble_triples(
-                first["context"], list(first["tok_start"]), list(first["tok_end"]),
-                spoes, ex.schema,
-            )
-            rows.extend(_triples_to_rows(url, triples))
-        return pd.DataFrame(rows, columns=cols)
+        for pdf in it:
+            rows: list[tuple] = []
+            for r in pdf.itertuples(index=False):
+                spoes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+                for p in r.pos:
+                    spoes.setdefault((p["s1"], p["s2"]), [])
+                    if p["predicate_id"] >= 0:
+                        spoes[(p["s1"], p["s2"])].append(
+                            (p["o1"], p["o2"], p["predicate_id"])
+                        )
+                triples = assemble_triples(
+                    r.context, list(r.tok_start), list(r.tok_end),
+                    spoes, ex.schema,
+                )
+                rows.extend(_triples_to_rows(r.url, triples))
+            yield pd.DataFrame(rows, columns=cols)
 
-    return po_df.groupBy("url").applyInPandas(kernel, TRIPLES_DDL)
+    return packed.mapInPandas(kernel, TRIPLES_DDL)
 
 
 def extract_triples_staged(pages_df, extractor_bc):

@@ -104,7 +104,13 @@ class Lakehouse:
         w.parquet(str(path))
 
         out = self.spark.read.parquet(str(path))
-        cols = [c for c in out.columns]
+        # fingerprint over scalar columns only: hashing array/map columns
+        # (token arrays!) would double the stage cost at scale, and the
+        # scalar key+payload columns already pin row identity
+        cols = [
+            c for c, t in out.dtypes
+            if not t.startswith(("array", "map", "struct"))
+        ] or [out.columns[0]]
         hashed = out.select(
             F.spark_partition_id().alias("partition_id"),
             F.xxhash64(*[F.col(c).cast("string") for c in cols]).alias("h"),

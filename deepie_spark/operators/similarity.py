@@ -121,6 +121,97 @@ def lsh_buckets(
     )
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic mini-kmeans coarse quantizer (IVF training):
+    centroids seeded from the k smallest xxhash64(id) rows, then
+    ``iters`` Lloyd steps as DataFrame jobs (assign = argmin over the
+    broadcast centroids, update = groupBy avg).  Driver holds only the
+    k x dim centroid matrix."""
+    seeds = (
+        embeddings.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(map(float, r["v"])) for r in seeds]
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        rows = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.col(vec_col)[i]).alias(f"c{i}")
+                        for i in range(len(centroids[0]))
+                    ]
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {r["centroid_id"]: [float(x) for x in r["c"]] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``centroid_id`` = argmax cosine over the broadcast centroid
+    list — a struct-max over k column expressions, no UDF."""
+    cands = [
+        F.struct(
+            cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias("s"),
+            F.lit(-i).alias("negi"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.greatest(*cands)
+    return embeddings.withColumn("centroid_id", (-best["negi"]).cast("int"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only rows whose centroid is among the query's
+    ``n_probe`` nearest — at scale the table is partitioned/clustered
+    by centroid_id, so non-probed cells are pruned at the scan."""
+    import math
+
+    def cos_py(a, b):
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb + 1e-12)
+
+    probes = sorted(
+        range(len(centroids)),
+        key=lambda i: -cos_py(centroids[i], query),
+    )[:n_probe]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        assigned.where(F.col("centroid_id").isin(probes))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_ann_pairs(
     buckets: DataFrame,
     threshold: float = 0.9,

@@ -72,6 +72,27 @@ def test_lsh_ann_recall_on_planted_near_dups(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_ivf_recall_vs_brute_force(spark, emb, emb_np):
+    from deepie_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cents = ivf_train_centroids(e, k=8, iters=2)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    q = emb_np[0].tolist()
+    brute = [r["vec_id"] for r in cosine_topk(e, q, k=10).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(e, cents, q, k=10, n_probe=4).collect()]
+    # probing half the cells must recover most of the true top-10
+    recall = len(set(brute) & set(ivf)) / 10
+    assert recall >= 0.5, (recall, brute, ivf)
+    # full probe == brute force exactly
+    full = [r["vec_id"] for r in ivf_topk(e, cents, q, k=10, n_probe=8).collect()]
+    assert full == brute
+
+
 def test_dot_and_norm_exprs(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>")
     r = df.select(

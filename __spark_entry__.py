@@ -422,6 +422,70 @@ def q_ner_spans(spark, sf_dir):
     return ner_spans(df, scheme="bio")
 
 
+def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP aggregation (hierarchical subtotals + grand total)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("bigint").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty", "n",
+        )
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot linestatus into columns (explicit CASE form, so the same
+    SQL runs on both engines)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0))
+        ).cast("bigint").alias("qty_open"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0))
+        ).cast("bigint").alias("qty_filled"),
+    )
+
+
+def q_json_props(spark, sf_dir):
+    """JSON field extraction from the events props column + agg."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct with an exact-count companion; the oracle
+    checks the exact column and that the sketch lands within 5%
+    (inequality folded into the result so values hash identically)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("approx"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            (F.col("approx") > F.col("exact_parts") * 0.95)
+            & (F.col("approx") < F.col("exact_parts") * 1.05)
+        ).alias("approx_within_5pct"),
+    )
+
+
 def q_attributes(spark, sf_dir):
     """Entity-conditioned attribute extraction on the deterministic
     fixture (rows-only: covered by pytest oracles, non-SQL decode)."""
@@ -470,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "ner_spans": q_ner_spans,
         "attributes": q_attributes,
+        "rollup_pricing": q_rollup_pricing,
+        "pivot_status": q_pivot_status,
+        "json_props": q_json_props,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -782,6 +850,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.node, least(n.node, min(r.b)) AS component
             FROM nodes n LEFT JOIN reach r ON r.a = n.node
             GROUP BY n.node
+        """,
+        "rollup_pricing": """
+            SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+                   coalesce(l_linestatus, '<all>') AS linestatus,
+                   CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   CAST(round(sum(CASE WHEN l_linestatus = 'O'
+                        THEN l_quantity ELSE 0 END)) AS BIGINT) AS qty_open,
+                   CAST(round(sum(CASE WHEN l_linestatus = 'F'
+                        THEN l_quantity ELSE 0 END)) AS BIGINT) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "approx_distinct": """
+            SELECT count(DISTINCT l_partkey) AS exact_parts,
+                   TRUE AS approx_within_5pct
+            FROM lineitem
         """,
         "ner_spans": """
             WITH toks AS (

@@ -47,14 +47,29 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _min_neighbor(directed: DataFrame, n_salts: int = 16) -> DataFrame:
+    """(src, m = min(dst ∪ {src})) with a salted two-phase min: hub
+    nodes (an entity with millions of alias edges) would otherwise
+    funnel into one reducer — the north rule's 'salted
+    entity-similarity graph' requirement applied inside CC."""
+    partial = (
+        directed.withColumn(
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        )
+        .groupBy("src", "_salt")
+        .agg(F.min("dst").alias("_pm"))
+    )
+    return partial.groupBy("src").agg(
+        F.least(F.min("_pm"), F.first("src")).alias("m")
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every neighbor v > u to m = min(N(u) ∪ {u})."""
     nbrs = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    m = nbrs.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
-    )
+    m = _min_neighbor(nbrs)
     return (
         nbrs.join(m, "src")
         .where(F.col("dst") > F.col("src"))
@@ -68,7 +83,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     d = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    m = d.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    m = _min_neighbor(d)
     out = (
         d.join(m, "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))

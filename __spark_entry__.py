@@ -183,6 +183,19 @@ def q_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(lsh_bands(sig, n_bands=4))
 
 
+def q_lsh_pairs_fast(spark, sf_dir):
+    """Production near-dup chain: numpy fast MinHash -> bands -> capped
+    bucket join (rows-only: the fast kernel is a different hash family
+    from the oracle-checked expression op; chain-level recall/precision
+    vs exact Jaccard is pytest-covered in test_dedup.py)."""
+    _ensure(spark)
+    from deepie_spark.operators.dedup import lsh_dedup_pairs
+
+    return lsh_dedup_pairs(
+        _docs(spark, sf_dir), n_hashes=8, shingle_k=5, n_bands=4, max_bucket=256
+    )
+
+
 def q_jaccard_pairs(spark, sf_dir):
     from deepie_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -279,24 +292,25 @@ def q_near_dup_lsh(spark, sf_dir):
 
 
 def q_micro_prf_sets(spark, sf_dir):
+    # single full-outer join + one aggregation (NOT three count()
+    # actions re-running the same join; see metrics._tp_fp_fn)
     d = _docs(spark, sf_dir)
-    pred = d.where(F.col("n_chars") > 300).select("doc_id")
-    gold = d.where(
-        F.size(F.split(F.col("text"), " ")) > 60
-    ).select("doc_id")
-    tp = pred.join(gold, "doc_id", "inner").count()
-    fp = pred.join(gold, "doc_id", "left_anti").count()
-    fn = gold.join(pred, "doc_id", "left_anti").count()
+    pred = d.where(F.col("n_chars") > 300).select("doc_id").withColumn("_p", F.lit(1))
+    gold = (
+        d.where(F.size(F.split(F.col("text"), " ")) > 60)
+        .select("doc_id").withColumn("_g", F.lit(1))
+    )
     eps = 1e-10
-    return spark.createDataFrame(
-        [(
-            tp, fp, fn,
-            int(round(tp / (tp + fp + eps) * 1e6)),
-            int(round(tp / (tp + fn + eps) * 1e6)),
-            int(round(2 * tp / (2 * tp + fp + fn + eps) * 1e6)),
-        )],
-        "tp bigint, fp bigint, fn bigint, precision_e6 bigint, "
-        "recall_e6 bigint, f1_e6 bigint",
+    agg = pred.join(gold, "doc_id", "full_outer").agg(
+        F.coalesce(F.sum(F.col("_p") * F.col("_g")), F.lit(0)).cast("bigint").alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("_g").isNull(), 1)), F.lit(0)).cast("bigint").alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("_p").isNull(), 1)), F.lit(0)).cast("bigint").alias("fn"),
+    )
+    return agg.select(
+        "tp", "fp", "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp") + eps) * 1e6).cast("bigint").alias("precision_e6"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn") + eps) * 1e6).cast("bigint").alias("recall_e6"),
+        F.round(2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn") + eps) * 1e6).cast("bigint").alias("f1_e6"),
     )
 
 
@@ -515,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "minhash_fast": q_minhash_fast,
         "lsh_pairs": q_lsh_pairs,
+        "lsh_pairs_fast": q_lsh_pairs_fast,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,

@@ -173,12 +173,29 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
     """Bucket self-join -> distinct candidate pairs (a < b).
 
     Scale note: the join key is (band_id, band_hash); a degenerate
-    bucket (e.g. empty docs) becomes a quadratic hot key — cap bucket
-    size upstream or salt; AQE skew-join covers moderate cases."""
+    bucket (e.g. 10^6 identical or empty docs) becomes a quadratic hot
+    key.  ``max_bucket`` caps it: bucket populations are counted first
+    (one cheap aggregation on the same key the join shuffles on) and
+    buckets above the cap are dropped before the self-join, keeping
+    pair generation linear in corpus size.  Oversized buckets are by
+    construction near-identical content — exact hash dedup
+    (``exact_dedup``) owns that regime, so dropping them here loses
+    nothing.  AQE skew-join covers moderate skew below the cap."""
+    if max_bucket is not None:
+        sizes = bands.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        bands = (
+            bands.join(sizes, ["band_id", "band_hash"])
+            .where(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     a = bands.select(F.col(id_col).alias("a"), "band_id", "band_hash")
     b = bands.select(F.col(id_col).alias("b"), "band_id", "band_hash")
     return (
@@ -186,6 +203,33 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+    )
+
+
+def lsh_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 5,
+    n_bands: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Production MinHash-LSH near-dup chain: numpy fast signatures ->
+    bands -> capped bucket self-join.
+
+    This is the default 100-TB dedup path: signatures come from the
+    Arrow-batched numpy kernel (``minhash_signatures_fast``, ~25x
+    faster than the interpreted expression tree), and degenerate
+    buckets are capped.  ``minhash_signatures`` stays solely as the
+    DuckDB-oracle twin of the signature math."""
+    sig = minhash_signatures_fast(
+        docs, text_col=text_col, id_col=id_col,
+        n_hashes=n_hashes, shingle_k=shingle_k,
+    )
+    return lsh_candidate_pairs(
+        lsh_bands(sig, n_bands=n_bands, id_col=id_col),
+        id_col=id_col, max_bucket=max_bucket,
     )
 
 

@@ -46,21 +46,34 @@ def _keyed(df: DataFrame, normalized: bool, extractor_bc=None) -> DataFrame:
     ).dropDuplicates(["url", "k_subject", "k_predicate", "k_object"])
 
 
+def _tp_fp_fn(p: DataFrame, g: DataFrame, keys: list[str]) -> DataFrame:
+    """One full-outer join + one aggregation -> a single (tp, fp, fn)
+    row in ONE Spark job (three separate inner/anti-join ``count()``
+    actions would recompute the same join three times — 3x wasted
+    passes at 100 TB)."""
+    joined = p.withColumn("_p", F.lit(1)).join(
+        g.withColumn("_g", F.lit(1)), keys, "full_outer"
+    )
+    return joined.agg(
+        F.coalesce(F.sum(F.col("_p") * F.col("_g")), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("_g").isNull(), 1)), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("_p").isNull(), 1)), F.lit(0)).alias("fn"),
+    ).select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+    )
+
+
 def triple_counts(
     pred_df: DataFrame, gold_df: DataFrame, normalized: bool = False,
     extractor_bc=None,
 ) -> DataFrame:
-    """One row: tp, fp, fn."""
+    """One row: tp, fp, fn (single job, see ``_tp_fp_fn``)."""
     p = _keyed(pred_df, normalized, extractor_bc)
     g = _keyed(gold_df, normalized, extractor_bc)
     keys = ["url", "k_subject", "k_predicate", "k_object"]
-    tp = p.join(g, keys, "inner").count()
-    fp = p.join(g, keys, "left_anti").count()
-    fn = g.join(p, keys, "left_anti").count()
-    spark = pred_df.sparkSession
-    return spark.createDataFrame(
-        [(tp, fp, fn)], "tp bigint, fp bigint, fn bigint"
-    )
+    return _tp_fp_fn(p, g, keys)
 
 
 def micro_prf(counts_df: DataFrame) -> DataFrame:
@@ -107,16 +120,10 @@ def per_predicate_prf(pred_df: DataFrame, gold_df: DataFrame) -> DataFrame:
 
 
 def entity_prf(pred_df: DataFrame, gold_df: DataFrame) -> DataFrame:
-    """Subject-entity EM/P/R (train.py:229-248 analogue)."""
+    """Subject-entity EM/P/R (train.py:229-248 analogue; single job)."""
     p = pred_df.select("url", "subject").dropDuplicates()
     g = gold_df.select("url", "subject").dropDuplicates()
-    tp = p.join(g, ["url", "subject"], "inner").count()
-    fp = p.join(g, ["url", "subject"], "left_anti").count()
-    fn = g.join(p, ["url", "subject"], "left_anti").count()
-    spark = pred_df.sparkSession
-    return micro_prf(
-        spark.createDataFrame([(tp, fp, fn)], "tp bigint, fp bigint, fn bigint")
-    )
+    return micro_prf(_tp_fp_fn(p, g, ["url", "subject"]))
 
 
 def badcases(pred_df: DataFrame, gold_df: DataFrame) -> DataFrame:

@@ -69,39 +69,49 @@ def bmes_spans_py(labels: list[str]) -> list[tuple[int, int, str]]:
     return spans
 
 
-def spans_udf(scheme: str = "bio"):
-    fn = bio_spans_py if scheme == "bio" else bmes_spans_py
-    return F.udf(
-        lambda labels: [
-            {"start": s, "end": e, "etype": t} for s, e, t in fn(list(labels or []))
-        ],
-        "array<struct<start:int, end:int, etype:string>>",
-    )
-
-
 def ner_spans(df: DataFrame, labels_col: str = "labels", scheme: str = "bio") -> DataFrame:
-    """(sent_id, labels) -> exploded (sent_id, start, end, etype)."""
-    return (
-        df.select("sent_id", F.explode(spans_udf(scheme)(F.col(labels_col))).alias("s"))
-        .select("sent_id", "s.start", "s.end", "s.etype")
+    """(sent_id, labels) -> exploded (sent_id, start, end, etype).
+
+    Arrow-batched ``mapInPandas`` kernel (no row-at-a-time python UDF,
+    no separate explode — the kernel emits span rows directly); the
+    scan itself is the pure oracle function above, so kernel == oracle
+    by construction."""
+    fn = bio_spans_py if scheme == "bio" else bmes_spans_py
+
+    def kernel(it):
+        import pandas as pd
+
+        cols = ["sent_id", "start", "end", "etype"]
+        for pdf in it:
+            rows = []
+            for sent_id, labels in zip(pdf["sent_id"], pdf[labels_col]):
+                for s, e, t in fn(list(labels) if labels is not None else []):
+                    rows.append((sent_id, s, e, t))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("sent_id", labels_col).mapInPandas(
+        kernel, "sent_id bigint, start int, end int, etype string"
     )
 
 
 def ner_span_f1(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """Span-set micro F1 over (sent_id, start, end, etype)
-    (metric.py:12-59): intersection via inner join."""
+    (metric.py:12-59): ONE full-outer join + one aggregation (three
+    separate count() actions would recompute the join 3x)."""
     keys = ["sent_id", "start", "end", "etype"]
-    p = pred.dropDuplicates(keys)
-    g = gold.dropDuplicates(keys)
-    tp = p.join(g, keys, "inner").count()
-    np_, ng = p.count(), g.count()
+    p = pred.dropDuplicates(keys).withColumn("_p", F.lit(1))
+    g = gold.dropDuplicates(keys).withColumn("_g", F.lit(1))
     eps = 1e-10
-    spark = pred.sparkSession
-    return spark.createDataFrame(
-        [(tp, np_, ng, tp / (np_ + eps), tp / (ng + eps),
-          2 * tp / (np_ + ng + eps))],
-        "tp bigint, n_pred bigint, n_gold bigint, precision double, "
-        "recall double, f1 double",
+    agg = p.join(g, keys, "full_outer").agg(
+        F.coalesce(F.sum(F.col("_p") * F.col("_g")), F.lit(0)).cast("bigint").alias("tp"),
+        F.coalesce(F.sum("_p"), F.lit(0)).cast("bigint").alias("n_pred"),
+        F.coalesce(F.sum("_g"), F.lit(0)).cast("bigint").alias("n_gold"),
+    )
+    return agg.select(
+        "tp", "n_pred", "n_gold",
+        (F.col("tp") / (F.col("n_pred") + eps)).alias("precision"),
+        (F.col("tp") / (F.col("n_gold") + eps)).alias("recall"),
+        (2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_gold") + eps)).alias("f1"),
     )
 
 

@@ -155,21 +155,58 @@ def read_word2vec_text(spark: SparkSession, path: str, dim: int) -> DataFrame:
 def build_vocab(
     docs: DataFrame, text_col: str = "text", min_count: int = 1,
     specials: tuple = ("<PAD>", "<OOV>", "<MASK>"),
+    rank_partitions: int | None = None,
 ) -> DataFrame:
     """Corpus vocabulary with frequency-ranked ids (the reference's
     Counter.most_common build, etl_span/data_loader.py:145-175):
-    explode -> count -> row_number window -> ids after specials."""
+    explode -> count -> two-phase global rank -> ids after specials.
+
+    Two-phase ranking (NO single-partition window — at web scale 10^9
+    distinct tokens would otherwise funnel through one task):
+      1. range-repartition counts on the sort key (cnt desc, token asc)
+         and persist with the materialized partition id — the cache
+         pins the range boundaries so both downstream jobs see
+         identical bucket assignment;
+      2. per-bucket row_number (each window partition == one range
+         bucket) + exclusive prefix offsets from a K-row driver-side
+         table, broadcast-joined back.
+    Ordering is total (token breaks cnt ties), so bucket-major rank +
+    offset equals the global row_number exactly."""
+    from pyspark import StorageLevel
+
     toks = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).where(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).where(
         F.col("cnt") >= min_count
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = counts.withColumn(
-        "token_id", F.row_number().over(w) + len(specials) - 1
-    )
     spark = docs.sparkSession
+    k = rank_partitions or spark.sparkContext.defaultParallelism
+    bucketed = (
+        counts.repartitionByRange(k, F.desc("cnt"), F.asc("token"))
+        .withColumn("_bucket", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # K tiny rows -> exclusive prefix sums on the driver (the same
+    # per-partition-counts trick zipWithIndex uses)
+    sizes = {
+        r["_bucket"]: r["n"]
+        for r in bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(sizes):
+        offsets.append((b, acc))
+        acc += sizes[b]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_bucket int, _off bigint")
+    w = Window.partitionBy("_bucket").orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = (
+        bucketed.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_bucket")
+        .withColumn(
+            "token_id",
+            (F.col("_off") + F.col("_rn") + len(specials) - 1).cast("int"),
+        )
+    )
     spec = spark.createDataFrame(
         [(s, i, -1) for i, s in enumerate(specials)],
         "token string, token_id int, cnt bigint",

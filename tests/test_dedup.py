@@ -103,6 +103,44 @@ def test_minhash_fast_arrow_batch_invariance(spark, docs):
     assert outs[0] == outs[1]
 
 
+def test_lsh_hot_bucket_cap_keeps_pairs_linear(spark):
+    """Adversarial fixture: thousands of identical (and empty) docs all
+    land in one LSH bucket per band — uncapped that bucket alone is
+    ~n^2/2 pairs (the 100-TB quadratic blow-up).  With ``max_bucket``
+    the degenerate buckets are dropped and pair output stays linear,
+    while planted near-dups in healthy buckets are still found."""
+    n_dup = 3000
+    rows = [(i, "identical degenerate text repeated everywhere") for i in range(n_dup)]
+    rows += [(n_dup + i, "") for i in range(500)]  # empty docs: same pathology
+    rows += [
+        (9001, "the quick brown fox jumps over the lazy dog"),
+        (9002, "the quick brown fox jumps over the very lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = D.lsh_dedup_pairs(df, n_hashes=16, n_bands=8, max_bucket=64)
+    got = pairs.collect()
+    # linear, not quadratic: without the cap this would be ~4.6M pairs
+    assert len(got) <= 10
+    assert (9001, 9002) in {(r["a"], r["b"]) for r in got}
+    # the capped regime is owned by exact dedup: every dropped doc still
+    # dedups via its content hash
+    keep = D.exact_dedup(df)
+    kept = keep.where(F.col("keep")).count()
+    assert kept == 4  # one keeper per distinct text
+
+
+def test_lsh_dedup_pairs_chain_on_fixture(docs):
+    """Production chain (fast numpy signatures -> bands -> capped join)
+    finds the planted exact+near dups and not the far pairs."""
+    pairs = {
+        (r["a"], r["b"])
+        for r in D.lsh_dedup_pairs(docs, n_hashes=16, n_bands=8).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert (3, 5) not in pairs and (0, 3) not in pairs
+
+
 def test_simhash_identical_same_bucket(docs):
     sim = D.simhash(docs)
     rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}

@@ -96,6 +96,22 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_b")
 
 
+def test_build_vocab_no_single_partition_funnel(spark):
+    """Global frequency ranking must NOT funnel every token through one
+    partition: the two-phase rank keeps all exchanges partitioned
+    (range/hash), with offsets joined from a broadcast K-row table."""
+    p = plan_of(em.q_vocab_ranked(spark, SF))
+    assert "Exchange SinglePartition" not in p
+    assert "rangepartitioning" in p.lower()
+    assert "BroadcastHashJoin" in p
+
+
+def test_ner_spans_no_row_python_udf(spark):
+    p = plan_of(em.q_ner_spans(spark, SF))
+    assert "BatchEvalPython" not in p  # no row-at-a-time python UDF
+    assert "MapInPandas" in p  # Arrow-batched kernel
+
+
 def test_ann_topk_take_ordered_not_global_sort(spark):
     p = plan_of(em.q_ann_topk(spark, SF))
     assert "TakeOrderedAndProject" in p  # no full sort shuffle for top-k

@@ -519,6 +519,222 @@ def q_attributes(spark, sf_dir):
     return extract_attributes(df, bc)
 
 
+def q_etl_stl(spark, sf_dir):
+    """ETL-STL cascade (subject pointer + per-label BIES CRF object
+    decode, models/spo_net/etl_stl.py) on the synthetic pages —
+    hash-checked against the materialized single-row python oracle."""
+    _ensure(spark)
+    from deepie_spark.config.schema import SYNTH_SCHEMA
+    from deepie_spark.operators.etl_stl import StlExtractor, extract_stl_triples
+    from deepie_spark.sources.synth import corpus_dataframes, gen_world
+
+    world = gen_world()
+    pages_df, _, _ = corpus_dataframes(spark, _pages_count(sf_dir))
+    bc = spark.sparkContext.broadcast(StlExtractor(SYNTH_SCHEMA, world.alias_rows))
+    return extract_stl_triples(pages_df, bc)
+
+
+def q_mentions_trie(spark, sf_dir):
+    """The REAL mention operator (broadcast-trie longest-nonoverlap
+    matching inside the token stage) — hash-checked against the
+    materialized single-row trie oracle.  `mention_candidates` remains
+    as the cross-engine substring-arithmetic twin."""
+    _ensure(spark)
+    from deepie_spark.config.schema import SYNTH_SCHEMA
+    from deepie_spark.operators.extract import PageExtractor, stage_tokens
+    from deepie_spark.operators.linking import detect_mentions
+    from deepie_spark.sources.synth import corpus_dataframes, gen_world
+
+    world = gen_world()
+    pages_df, _, _ = corpus_dataframes(spark, _pages_count(sf_dir))
+    bc = spark.sparkContext.broadcast(PageExtractor(SYNTH_SCHEMA, world.alias_rows))
+    tokens = stage_tokens(pages_df.select("url", "lang", "text"), bc)
+    return detect_mentions(tokens, bc)
+
+
+# --------------------------------------------------------------------------
+# fixture oracles: for operators whose semantics aren't SQL-expressible
+# (trie matching, WordPiece tokenization, the neural-style cascades, the
+# numpy MinHash family), the *single-row python oracle* materializes the
+# expected output as parquet and DuckDB reads it — upgrading these rows
+# from rows-only to full hash-checked CORRECTNESS entries.  The driver
+# compares at sf0.01; DEEPIE_ORACLE_SF_DIR overrides for local sweeps.
+# --------------------------------------------------------------------------
+
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".oracle_fixtures"
+)
+_FIXTURES_DONE: set[str] = set()
+
+
+def _fixture_sf_dir() -> str:
+    return os.environ.get("DEEPIE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _expected_flagship(sf_dir):
+    import pyarrow as pa
+
+    from deepie_spark.config.schema import SYNTH_SCHEMA
+    from deepie_spark.operators.extract import PageExtractor
+    from deepie_spark.sources.synth import gen_corpus, gen_world
+
+    world = gen_world()
+    ex = PageExtractor(SYNTH_SCHEMA, world.alias_rows)
+    pages, _, _ = gen_corpus(_pages_count(sf_dir))
+    rows = []
+    for p in pages:
+        for t in ex.extract_page_py(p["text"]):
+            rows.append(
+                {
+                    "url": p["url"],
+                    "subject": t["subject"],
+                    "subject_type": t["subject_type"],
+                    "predicate": t["predicate"],
+                    "object_value": t["object"].get("@value"),
+                    "n_slots": len(t["object"]),
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()), ("subject", pa.string()),
+                ("subject_type", pa.string()), ("predicate", pa.string()),
+                ("object_value", pa.string()), ("n_slots", pa.int32()),
+            ]
+        ),
+    )
+
+
+def _expected_etl_stl(sf_dir):
+    import pyarrow as pa
+
+    from deepie_spark.config.schema import SYNTH_SCHEMA
+    from deepie_spark.operators.etl_stl import StlExtractor
+    from deepie_spark.sources.synth import gen_corpus, gen_world
+
+    world = gen_world()
+    ex = StlExtractor(SYNTH_SCHEMA, world.alias_rows)
+    pages, _, _ = gen_corpus(_pages_count(sf_dir))
+    rows = [
+        {"url": p["url"], "subject": s, "predicate": pr, "object": o}
+        for p in pages
+        for s, pr, o in ex.extract_page_py(p["text"])
+    ]
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()), ("subject", pa.string()),
+                ("predicate", pa.string()), ("object", pa.string()),
+            ]
+        ),
+    )
+
+
+def _expected_mentions(sf_dir):
+    import pyarrow as pa
+
+    from deepie_spark.config.schema import SYNTH_SCHEMA
+    from deepie_spark.operators.extract import PageExtractor
+    from deepie_spark.operators.linking import page_mentions_py
+    from deepie_spark.sources.synth import gen_corpus, gen_world
+
+    world = gen_world()
+    ex = PageExtractor(SYNTH_SCHEMA, world.alias_rows)
+    pages, _, _ = gen_corpus(_pages_count(sf_dir))
+    cols = ["url", "mention", "tok_start", "tok_end", "canonical_id",
+            "entity_type", "weight"]
+    rows = []
+    for p in pages:
+        context, tokens, starts, ends = ex.tokenize_page(p["text"])
+        for r in page_mentions_py(ex, p["url"], context, tokens, starts, ends):
+            rows.append(dict(zip(cols, r)))
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()), ("mention", pa.string()),
+                ("tok_start", pa.int32()), ("tok_end", pa.int32()),
+                ("canonical_id", pa.int64()), ("entity_type", pa.string()),
+                ("weight", pa.float64()),
+            ]
+        ),
+    )
+
+
+def _expected_attributes(sf_dir):
+    import pyarrow as pa
+
+    from deepie_spark.operators.attributes import AttributeExtractor
+    from deepie_spark.sources.synth import gen_attribute_corpus
+
+    ex = AttributeExtractor()
+    n = max(_pages_count(sf_dir) // 3, 50)
+    rows = []
+    for r in gen_attribute_corpus(n):
+        for a in ex.extract_record_py(r["text"]):
+            rows.append({"rec_id": r["rec_id"], **a})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("rec_id", pa.int64()), ("attr_type", pa.string()),
+                ("value", pa.string()), ("val_start", pa.int32()),
+                ("val_end", pa.int32()),
+            ]
+        ),
+    )
+
+
+def _expected_minhash_fast(sf_dir):
+    import duckdb
+    import pyarrow as pa
+
+    from deepie_spark.operators.dedup import minhash_fast_py
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    rows = [
+        {"doc_id": doc_id, "seed": seed, "minhash": mh}
+        for doc_id, text in docs
+        for seed, mh in enumerate(minhash_fast_py(text, n_hashes=8, shingle_k=5))
+    ]
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("seed", pa.int32()), ("minhash", pa.int64())]
+        ),
+    )
+
+
+_FIXTURE_BUILDERS = {
+    "flagship_triples": _expected_flagship,
+    "etl_stl_triples": _expected_etl_stl,
+    "mentions_trie": _expected_mentions,
+    "attributes": _expected_attributes,
+    "minhash_fast": _expected_minhash_fast,
+}
+
+
+def _materialize_fixtures(sf_dir: str) -> None:
+    """Write (once per process per sf) every fixture table; always
+    overwrites on first call so stale files can never poison a check."""
+    if sf_dir in _FIXTURES_DONE:
+        return
+    import pyarrow.parquet as pq
+
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    key = os.path.basename(sf_dir.rstrip("/"))
+    for name, builder in _FIXTURE_BUILDERS.items():
+        pq.write_table(
+            builder(sf_dir), os.path.join(_FIXTURE_DIR, f"{name}_{key}.parquet")
+        )
+    _FIXTURES_DONE.add(sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_triples": q_flagship,
@@ -549,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "ner_spans": q_ner_spans,
         "attributes": q_attributes,
+        "etl_stl_triples": q_etl_stl,
+        "mentions_trie": q_mentions_trie,
         "rollup_pricing": q_rollup_pricing,
         "pivot_status": q_pivot_status,
         "json_props": q_json_props,
@@ -572,6 +790,16 @@ def _lang_hits_sql(lang):
 
 def oracle_sql() -> dict[str, str]:
     from deepie_spark.operators.dedup import minhash_params
+
+    fsf = _fixture_sf_dir()
+    _materialize_fixtures(fsf)
+    fkey = os.path.basename(fsf.rstrip("/"))
+
+    def fx(name: str) -> str:
+        return (
+            "SELECT * FROM read_parquet("
+            f"'{os.path.join(_FIXTURE_DIR, f'{name}_{fkey}.parquet')}')"
+        )
 
     params8 = minhash_params(8)
     seeds8_values = ", ".join(
@@ -605,6 +833,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "flagship_triples": fx("flagship_triples"),
+        "etl_stl_triples": fx("etl_stl_triples"),
+        "mentions_trie": fx("mentions_trie"),
+        "attributes": fx("attributes"),
+        "minhash_fast": fx("minhash_fast"),
         "clean_text": """
             SELECT doc_id,
                    replace(replace(text, '®', ''), '◆', '') AS cleaned,

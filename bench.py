@@ -10,9 +10,11 @@ Prints ONE JSON line:
   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
   local[$SPARK_GRAFT_CPUS];
 - scaling: the same flagship job at local[8] vs local[32] on identical
-  input (the sandbox proxy for N vs 4N executors; BASELINE.json
-  north_rule), efficiency = T8 / (4 * T32) ... i.e.
-  throughput(32) / (4 * throughput(8)).
+  materialized input (the sandbox proxy for N vs 4N executors;
+  BASELINE.json north_rule), sized to >=60s at 32 cores so fixed costs
+  are <3%; efficiency = throughput(32) / (4 * throughput(8)), with a
+  Spark-free busy-loop probe bracketing each level to separate engine
+  overhead from shared-host throttling.
 
 Run modes:
   python bench.py                  # full bench + scaling, one JSON line
@@ -36,9 +38,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TMP = Path(os.environ.get("DEEPIE_BENCH_TMP", "/tmp/deepie_bench"))
 
 BENCH_QUERIES = [
-    "minhash", "minhash_fast", "simhash", "token_counts", "quality",
-    "lang_id", "doc_fingerprint", "pricing_summary", "revenue_by_nation",
-    "top_orders_per_customer", "event_sessions", "connected_components",
+    "minhash", "minhash_fast", "lsh_pairs_fast", "simhash", "token_counts",
+    "quality", "lang_id", "doc_fingerprint", "pricing_summary",
+    "revenue_by_nation", "top_orders_per_customer", "event_sessions",
+    "connected_components", "etl_stl_triples", "mentions_trie",
 ]
 
 
@@ -107,20 +110,55 @@ def run_flagship(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int]:
     return time.time() - t0, n
 
 
-SCALING_REPLICATE = 16
+# sized so the 32-core flagship run lasts >=60s: long enough that
+# python-worker spin-up and stage scheduling are noise (<3%), i.e. the
+# measured number is engine throughput, not fixed cost
+SCALING_REPLICATE = int(os.environ.get("DEEPIE_SCALING_REPLICATE", "192"))
+SCALING_LEVELS = (8, 32)  # the north rule's N -> 4N pair
+
+
+def _probe_at(n: int, secs: float = 2.0) -> float:
+    """Busy-loop throughput (Mcounts) of THIS host at concurrency n,
+    measured with plain multiprocessing (no Spark): the upper bound any
+    engine can reach right now.  Run adjacent to each timed level so
+    engine scaling can be separated from shared-host throttling."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.time()
+        c = 0
+        while time.time() - t0 < secs:
+            for _ in range(10000):
+                c += 1
+        q.put(c)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
+    [p.start() for p in ps]
+    total = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+    return round(total / 1e6 / secs, 1)
 
 
 def flagship_only(cpus: int) -> None:
     """Best-of-3 timed runs: the sandbox host is shared and noisy
     (probe-measured throughput varies ~3x between moments); the minimum
-    is the least-contended estimate of engine throughput."""
+    is the least-contended estimate of engine throughput.  The host
+    probe brackets the trials (max of before/after = the least-throttled
+    view of what the host allowed at this concurrency)."""
+    probe0 = _probe_at(cpus)
     spark = _make_spark(cpus)
-    best, n = None, 0
+    best, n, trials = None, 0, []
     for _ in range(3):
         sec, n = run_flagship(spark, SF_DIR, replicate=SCALING_REPLICATE)
+        trials.append(round(sec, 2))
         best = sec if best is None else min(best, sec)
-    print(json.dumps({"cpus": cpus, "sec": best, "triples": n}))
     spark.stop()
+    probe1 = _probe_at(cpus)
+    print(json.dumps({
+        "cpus": cpus, "sec": best, "trials": trials, "triples": n,
+        "probe_mcounts": max(probe0, probe1),
+    }))
 
 
 def main() -> None:
@@ -154,8 +192,11 @@ def main() -> None:
     }
 
     if "--no-scaling" not in sys.argv:
+        # the north rule's N vs 4N evidence: the SAME job on the SAME
+        # materialized input at local[8] vs local[32], each best-of-3
+        # with the job sized to >=60s at 32 cores (fixed costs <3%)
         scal = {}
-        for c in (2, 8, 32):
+        for c in SCALING_LEVELS:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--flagship", str(c)],
                 capture_output=True, text=True, timeout=1800,
@@ -163,59 +204,36 @@ def main() -> None:
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             scal[c] = json.loads(line)
+        lo, hi = SCALING_LEVELS
         thr = {c: scal[c]["triples"] / scal[c]["sec"] for c in scal}
+        eff = thr[hi] / (hi // lo) / thr[lo]
+        probe = {str(c): scal[c]["probe_mcounts"] for c in scal}
+        probe_eff = (
+            scal[hi]["probe_mcounts"] / (hi // lo) / scal[lo]["probe_mcounts"]
+        )
         result["scaling"] = {
-            "job": f"flagship extraction, {scal[8]['triples']} triples "
-                   f"({SCALING_REPLICATE}x replicated corpus)",
+            "job": f"flagship extraction, {scal[hi]['triples']} triples "
+                   f"({SCALING_REPLICATE}x replicated corpus, same input "
+                   f"both levels)",
             "sec": {c: round(scal[c]["sec"], 2) for c in scal},
+            "trials": {c: scal[c]["trials"] for c in scal},
             "triples_per_sec": {c: round(thr[c], 1) for c in thr},
-            # primary N->4N evidence (both levels inside the host's
-            # unthrottled range; see host_cpu_probe)
-            "efficiency_2_to_8": round(thr[8] / (4 * thr[2]), 3),
-            # disclosed: the shared host throttles >~16 concurrent
-            # procs, so 8->32 is host-bound, not engine-bound
-            "efficiency_8_to_32": round(thr[32] / (4 * thr[8]), 3),
-            "host_cpu_probe": _cpu_probe(),
+            f"efficiency_{lo}_to_{hi}": round(eff, 3),
+            # busy-loop probes bracketing each timed level: what the
+            # shared host itself allowed at that concurrency
+            "host_cpu_probe": {
+                **probe,
+                f"probe_efficiency_{lo}_to_{hi}": round(probe_eff, 3),
+            },
         }
-        # normalize by what the host itself could scale at this moment:
         # engine efficiency / probe efficiency isolates engine overhead
-        # from noisy-neighbor throttling
-        probe = result["scaling"]["host_cpu_probe"]
-        for pair in ("2_to_8", "8_to_32"):
-            pe = probe[f"probe_efficiency_{pair}"]
-            if pe > 0:
-                result["scaling"][f"efficiency_{pair}_host_normalized"] = round(
-                    min(result["scaling"][f"efficiency_{pair}"] / pe, 1.0), 3
-                )
+        # from noisy-neighbor throttling (the probe is Spark-free)
+        if probe_eff > 0:
+            result["scaling"][f"efficiency_{lo}_to_{hi}_host_normalized"] = round(
+                min(eff / probe_eff, 1.0), 3
+            )
 
     print(json.dumps(result))
-
-
-def _cpu_probe() -> dict:
-    """Raw python busy-loop scaling of THIS host (no Spark): the upper
-    bound any engine can reach.  Shows whether scaling shortfalls are
-    host throttling or engine overhead."""
-    import multiprocessing as mp
-
-    def burn(q):
-        t0 = time.time()
-        c = 0
-        while time.time() - t0 < 1.5:
-            for _ in range(10000):
-                c += 1
-        q.put(c)
-
-    out = {}
-    for n in (2, 8, 32):
-        q = mp.Queue()
-        ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
-        [p.start() for p in ps]
-        total = sum(q.get() for _ in ps)
-        [p.join() for p in ps]
-        out[n] = round(total / 1e6, 1)
-    out["probe_efficiency_2_to_8"] = round(out[8] / (4 * out[2]), 3)
-    out["probe_efficiency_8_to_32"] = round(out[32] / (4 * out[8]), 3)
-    return out
 
 
 if __name__ == "__main__":

@@ -75,9 +75,18 @@ class WordPieceTokenizer:
     def wordpiece(self, word: str) -> list[str]:
         """Split one whitespace-free word into subword pieces.
 
-        Same greedy algorithm as the reference's
-        ``_word_piece_tokenize`` (utils/data_util.py:305-327), with the
-        standard long-word -> [UNK] guard.
+        Exact port of the reference's ``_word_piece_tokenize``
+        (utils/data_util.py:305-327) INCLUDING its no-match behavior:
+        when no vocab piece matches at ``start`` (start == stop), the
+        single-char sub (with its ## prefix when start > 0) is emitted
+        as-is — it later encodes to the UNK id piece-by-piece, it does
+        NOT collapse the whole word to one [UNK] (that would change the
+        token count and shift every downstream offset).
+
+        One deliberate divergence, documented: words longer than
+        ``max_word_chars`` short-circuit to [UNK] (the reference has no
+        guard; its greedy loop is O(n^2) and a 10^6-char token in web
+        text would stall an executor core).
         """
         if word in self.vocab:
             return [word]
@@ -88,18 +97,19 @@ class WordPieceTokenizer:
         n = len(word)
         while start < n:
             stop = n
-            cur = None
             while stop > start:
                 sub = word[start:stop]
                 if start > 0:
                     sub = "##" + sub
                 if sub in self.vocab:
-                    cur = sub
                     break
                 stop -= 1
-            if cur is None:
-                return [UNK]
-            pieces.append(cur)
+            if start == stop:  # no match: emit the 1-char sub verbatim
+                stop += 1
+                sub = word[start:stop]
+                if start > 0:
+                    sub = "##" + sub
+            pieces.append(sub)
             start = stop
         return pieces
 
@@ -116,12 +126,84 @@ class WordPieceTokenizer:
         return [v.get(t, unk) for t in tokens]
 
 
+def is_space_char(ch: str) -> bool:
+    """Space-class predicate (utils/data_util.py:328-334)."""
+    return ch in (" ", "\n", "\r", "\t") or unicodedata.category(ch) == "Zs"
+
+
+def is_control_char(ch: str) -> bool:
+    """Control-class predicate (utils/data_util.py:367-371): Cc/Cf."""
+    return unicodedata.category(ch) in ("Cc", "Cf")
+
+
+def is_basic_punct(ch: str) -> bool:
+    """data_util's punctuation predicate (:336-344): ASCII punct ranges
+    or any Unicode category P*."""
+    code = ord(ch)
+    return (
+        33 <= code <= 47
+        or 58 <= code <= 64
+        or 91 <= code <= 96
+        or 123 <= code <= 126
+        or unicodedata.category(ch).startswith("P")
+    )
+
+
+def is_basic_cjk(ch: str) -> bool:
+    """data_util's CJK predicate (:352-364): Han blocks only."""
+    code = ord(ch)
+    return (
+        0x4E00 <= code <= 0x9FFF
+        or 0x3400 <= code <= 0x4DBF
+        or 0x20000 <= code <= 0x2A6DF
+        or 0x2A700 <= code <= 0x2B73F
+        or 0x2B740 <= code <= 0x2B81F
+        or 0x2B820 <= code <= 0x2CEAF
+        or 0xF900 <= code <= 0xFAFF
+        or 0x2F800 <= code <= 0x2FA1F
+    )
+
+
+def basic_tokenize(text: str, tokenizer: WordPieceTokenizer) -> list[str]:
+    """The reference's OTHER tokenize path — utils/data_util.py
+    ``Tokenizer._tokenize`` (:285-303), used by its BERT-based runs:
+    punct/CJK chars are space-padded, space-class chars become plain
+    separators, NUL / U+FFFD / control chars are DROPPED, then each
+    whitespace word is wordpiece-split.  No offset maps (that path
+    recovers spans by token-list search instead — see
+    operators/goldspan.py).  Uses data_util's OWN char predicates, which
+    differ from extract_chinese_and_punct's (cjk.py)."""
+    spaced = []
+    for ch in text:
+        if is_basic_punct(ch) or is_basic_cjk(ch):
+            spaced.append(f" {ch} ")
+        elif is_space_char(ch):
+            spaced.append(" ")
+        elif ord(ch) == 0 or ord(ch) == 0xFFFD or is_control_char(ch):
+            continue
+        else:
+            spaced.append(ch)
+    tokens: list[str] = []
+    for word in "".join(spaced).strip().split():
+        tokens.extend(tokenizer.tokenize(word))
+    return tokens
+
+
 def split_sub_text(text: str) -> list[str]:
     """The reference's sub-text state machine (data_loader_v2.py:63-92).
 
     CJK-or-punct chars (incl. space) are singleton elements; digit runs
     and other (latin) runs buffer separately, a digit->latin or
     latin->digit transition flushes the buffer.
+
+    Control-char stance (decided + documented): this machine follows
+    data_loader_v2 EXACTLY, which has no control-char drop — control
+    chars buffer into latin runs, preserving the per-url offset
+    invariant of the DuIE-v2 path.  The reference's other tokenize path
+    (utils/data_util.py:285-303) DOES drop Cc/Cf/NUL/U+FFFD; that
+    behavior lives in :func:`basic_tokenize` above.  The two reference
+    paths genuinely disagree on control characters; we port each one
+    faithfully rather than inventing a merged behavior.
     """
     sub_text: list[str] = []
     buff = ""

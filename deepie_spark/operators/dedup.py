@@ -97,6 +97,33 @@ def minhash_signatures(
     return docs.select(F.col(id_col), sig.alias("signature"))
 
 
+def minhash_fast_py(text: str, n_hashes: int = 16, shingle_k: int = 5) -> list[int]:
+    """Single-row numpy MinHash — the pure-python twin of the fast
+    kernel (same code path: byte-level k-gram polynomial hashes via a
+    sliding-window matmul, then the (a*h+b) mod 2^31 universal family).
+    Used per-row by the distributed kernel AND as the driver-side
+    oracle that materializes expected fixtures."""
+    import numpy as np
+
+    params = np.array(minhash_params(n_hashes), dtype=np.uint64)  # [H,2]
+    B, M = np.uint64(1_000_003), np.uint64(2**31)
+    powers = np.empty(shingle_k, dtype=np.uint64)
+    p = np.uint64(1)
+    for j in range(shingle_k):
+        powers[j] = p
+        p = (p * B) % M
+    a = params[:, 0][:, None]
+    b = params[:, 1][:, None]
+    raw = (text or "").lower().encode("utf-8")
+    if len(raw) < shingle_k:
+        raw = raw.ljust(shingle_k, b"\x00")
+    codes = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(codes, shingle_k)
+    h = (win @ powers) % M  # [S] shingle hashes
+    sig = ((a * h[None, :] + b) % M).min(axis=1)  # [H]
+    return sig.astype(np.int64).tolist()
+
+
 def minhash_signatures_fast(
     docs: DataFrame,
     text_col: str = "text",
@@ -109,13 +136,12 @@ def minhash_signatures_fast(
     The expression-tree version (``minhash_signatures``) is exact and
     DuckDB-oracle-checkable, but Spark evaluates higher-order-function
     lambdas interpreted (no codegen), so per-shingle md5 dominates.
-    This kernel vectorizes everything in numpy: byte-level k-gram
-    polynomial hashes via a sliding-window matmul, then the same
-    (a*h+b) mod 2^31 universal family.  Signatures are a *different*
+    This kernel vectorizes everything in numpy (``minhash_fast_py``,
+    shared with the fixture oracle).  Signatures are a *different*
     (equally valid) hash family, so near-dup behavior matches but raw
-    values differ from the oracle-checked op — unit-tested for Jaccard
-    estimation accuracy instead.
-    """
+    values differ from the expression op — unit-tested for Jaccard
+    estimation accuracy AND hash-checked against the materialized
+    python-twin fixture (see __spark_entry__.py)."""
     import numpy as np
 
     params = np.array(minhash_params(n_hashes), dtype=np.uint64)  # [H,2]

@@ -29,6 +29,28 @@ MENTIONS_DDL = (
 )
 
 
+def page_mentions_py(
+    ex, url: str, context: str, tokens: list[str],
+    starts: list[int], ends: list[int],
+) -> list[tuple]:
+    """Single-row mention oracle: longest-nonoverlapping trie matches
+    with all candidate entities per span.  Shared verbatim by the
+    distributed kernel and the driver-side fixture oracle, so the
+    hash-check verifies the Spark plumbing against this exact code."""
+    rows = []
+    for s, e, _entry in ex.trie.match_longest_nonoverlap(tokens):
+        surface = context[starts[s] : ends[e - 1] + 1]
+        # all candidates at this span (shared aliases)
+        for ee, entries in ex.trie.enumerate_matches(tokens, s):
+            if ee != e:
+                continue
+            for cand in entries:
+                rows.append((url, surface, s, e - 1,
+                             cand.canonical_id, cand.entity_type,
+                             cand.weight))
+    return rows
+
+
 def detect_mentions(tokens_df: DataFrame, extractor_bc) -> DataFrame:
     """tokens stage -> one row per longest-nonoverlapping alias match.
 
@@ -44,18 +66,12 @@ def detect_mentions(tokens_df: DataFrame, extractor_bc) -> DataFrame:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                tokens = list(r.tokens)
-                starts, ends = list(r.tok_start), list(r.tok_end)
-                for s, e, _entry in ex.trie.match_longest_nonoverlap(tokens):
-                    surface = r.context[starts[s] : ends[e - 1] + 1]
-                    # all candidates at this span (shared aliases)
-                    for ee, entries in ex.trie.enumerate_matches(tokens, s):
-                        if ee != e:
-                            continue
-                        for cand in entries:
-                            rows.append((r.url, surface, s, e - 1,
-                                         cand.canonical_id, cand.entity_type,
-                                         cand.weight))
+                rows.extend(
+                    page_mentions_py(
+                        ex, r.url, r.context, list(r.tokens),
+                        list(r.tok_start), list(r.tok_end),
+                    )
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     return tokens_df.select("url", "context", "tokens", "tok_start", "tok_end") \

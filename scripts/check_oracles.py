@@ -54,8 +54,12 @@ def df_multiset(cols, rows):
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # fixture oracles must materialize for THIS sf (driver default: sf0.01)
+    os.environ["DEEPIE_ORACLE_SF_DIR"] = sf_dir
 
     from deepie_spark.session import get_spark
 

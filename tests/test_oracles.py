@@ -20,7 +20,23 @@ SUBSET = [
     "per_source_detail", "salted_source_counts", "pricing_summary",
     "revenue_by_nation", "top_orders_per_customer", "event_sessions",
     "ner_spans", "doc_fingerprint", "simhash",
+    # fixture-backed (single-row python oracle materialized to parquet)
+    "flagship_triples", "etl_stl_triples", "mentions_trie", "attributes",
+    "minhash_fast",
 ]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fixture_sf():
+    import os
+
+    old = os.environ.get("DEEPIE_ORACLE_SF_DIR")
+    os.environ["DEEPIE_ORACLE_SF_DIR"] = SF
+    yield
+    if old is None:
+        os.environ.pop("DEEPIE_ORACLE_SF_DIR", None)
+    else:
+        os.environ["DEEPIE_ORACLE_SF_DIR"] = old
 
 
 @pytest.fixture(scope="module")

@@ -38,8 +38,11 @@ def test_wordpiece_greedy_longest_match():
     assert wp.wordpiece("abc") == ["abc"]
     assert wp.wordpiece("abcde") == ["abc", "##de"]
     assert wp.wordpiece("abcdef") == ["abc", "##de", "##f"]
-    assert wp.wordpiece("zzz") == [tok.UNK]  # no pieces at all
-    assert wp.wordpiece("a" * 200) == [tok.UNK]  # long-word guard
+    # no-match chars emit 1-char subs verbatim (data_util.py:319-321
+    # start==stop -> stop+=1), NOT a single collapsed [UNK]
+    assert wp.wordpiece("zzz") == ["z", "##z", "##z"]
+    assert wp.wordpiece("azz") == ["a", "##z", "##z"]
+    assert wp.wordpiece("a" * 200) == [tok.UNK]  # long-word guard (ours)
 
 
 def test_normalize_word():

@@ -519,6 +519,26 @@ def q_attributes(spark, sf_dir):
     return extract_attributes(df, bc)
 
 
+SEG_LEXICON = frozenset(
+    ["spark", "query", "table", "window", "vector", "the", "and", "scan"]
+)
+
+
+def q_word_alignment(spark, sf_dir):
+    """jieba-variant word segmentation + per-char word-id alignment
+    (etl_span/data_loader.py:107, 283-292) over documents — FMM
+    fallback segmenter (jieba not in this container), hash-checked
+    against the materialized python-twin fixture."""
+    _ensure(spark)
+    from deepie_spark.functions.wordseg import align_word_features
+
+    lex = set(SEG_LEXICON)
+    w2i = {w: i + 1 for i, w in enumerate(sorted(lex))}
+    lex_bc = spark.sparkContext.broadcast(lex)
+    w2i_bc = spark.sparkContext.broadcast(w2i)
+    return align_word_features(_docs(spark, sf_dir), lex_bc, w2i_bc)
+
+
 def q_etl_stl(spark, sf_dir):
     """ETL-STL cascade (subject pointer + per-label BIES CRF object
     decode, models/spo_net/etl_stl.py) on the synthetic pages —
@@ -687,6 +707,39 @@ def _expected_attributes(sf_dir):
     )
 
 
+def _expected_word_alignment(sf_dir):
+    import duckdb
+    import pyarrow as pa
+
+    from deepie_spark.functions.wordseg import char_word_ids, segment
+
+    lex = set(SEG_LEXICON)
+    w2i = {w: i + 1 for i, w in enumerate(sorted(lex))}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for doc_id, text in docs:
+        t = (text or "").lower().replace(" ", "")
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "n_chars": len(t),
+                "word_ids": char_word_ids(t, segment(t, lex), w2i),
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()), ("n_chars", pa.int32()),
+                ("word_ids", pa.list_(pa.int32())),
+            ]
+        ),
+    )
+
+
 def _expected_minhash_fast(sf_dir):
     import duckdb
     import pyarrow as pa
@@ -710,12 +763,115 @@ def _expected_minhash_fast(sf_dir):
     )
 
 
+def _expected_lsh_pairs_fast(sf_dir):
+    """Python twin of the production dedup chain: fast numpy signatures
+    -> md5 band hashes -> capped bucket pairs (same cap = 256)."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+
+    from deepie_spark.operators.dedup import minhash_fast_py
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    n_bands, cap = 4, 256
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, text in docs:
+        sig = minhash_fast_py(text, n_hashes=8, shingle_k=5)
+        rpb = len(sig) // n_bands
+        for b in range(n_bands):
+            h = hashlib.md5(
+                ",".join(str(x) for x in sig[b * rpb : (b + 1) * rpb]).encode()
+            ).hexdigest()
+            buckets.setdefault((b, h), []).append(int(doc_id))
+    pairs = set()
+    for ids in buckets.values():
+        if len(ids) > cap:
+            continue
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b2 in ids[i + 1 :]:
+                pairs.add((a, b2))
+    rows = [{"a": a, "b": b} for a, b in sorted(pairs)]
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    )
+
+
+def _expected_near_dup_lsh(sf_dir):
+    """Python twin of the hyperplane-LSH near-dup chain: same md5-seeded
+    planes, same left-to-right double accumulation as the zip_with/
+    aggregate expressions, so scores match bit-for-bit."""
+    import duckdb
+    import pyarrow as pa
+
+    from deepie_spark.operators.similarity import _planes
+
+    rows_in = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    vecs = {int(vid): [float(x) for x in emb] for vid, emb in rows_in}
+    dim = len(next(iter(vecs.values())))
+    planes = _planes(dim, 8, 42)
+
+    def dot_py(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos_py(a, b):
+        import math
+
+        na = math.sqrt(dot_py(a, a))
+        nb = math.sqrt(dot_py(b, b))
+        return dot_py(a, b) / (na * nb + 1e-12)
+
+    buckets: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        sig = 0
+        for i, p in enumerate(planes):
+            if dot_py(v, p) >= 0:
+                sig += 2**i
+        buckets.setdefault(sig, []).append(vid)
+    rows = []
+    for ids in buckets.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                s = cos_py(vecs[a], vecs[b])
+                if s >= 0.35:
+                    # Spark round() is HALF_UP on the double; python
+                    # round() is banker's — use decimal to match
+                    import decimal
+
+                    e6 = int(
+                        decimal.Decimal(s * 1e6).quantize(
+                            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                        )
+                    )
+                    rows.append({"a": a, "b": b, "score_e6": e6})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("score_e6", pa.int64())]
+        ),
+    )
+
+
 _FIXTURE_BUILDERS = {
     "flagship_triples": _expected_flagship,
     "etl_stl_triples": _expected_etl_stl,
     "mentions_trie": _expected_mentions,
     "attributes": _expected_attributes,
     "minhash_fast": _expected_minhash_fast,
+    "word_alignment": _expected_word_alignment,
+    "near_dup_lsh": _expected_near_dup_lsh,
+    "lsh_pairs_fast": _expected_lsh_pairs_fast,
 }
 
 
@@ -767,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attributes": q_attributes,
         "etl_stl_triples": q_etl_stl,
         "mentions_trie": q_mentions_trie,
+        "word_alignment": q_word_alignment,
         "rollup_pricing": q_rollup_pricing,
         "pivot_status": q_pivot_status,
         "json_props": q_json_props,
@@ -838,6 +995,9 @@ def oracle_sql() -> dict[str, str]:
         "mentions_trie": fx("mentions_trie"),
         "attributes": fx("attributes"),
         "minhash_fast": fx("minhash_fast"),
+        "word_alignment": fx("word_alignment"),
+        "near_dup_lsh": fx("near_dup_lsh"),
+        "lsh_pairs_fast": fx("lsh_pairs_fast"),
         "clean_text": """
             SELECT doc_id,
                    replace(replace(text, '®', ''), '◆', '') AS cleaned,

@@ -113,7 +113,7 @@ def run_flagship(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int]:
 # sized so the 32-core flagship run lasts >=60s: long enough that
 # python-worker spin-up and stage scheduling are noise (<3%), i.e. the
 # measured number is engine throughput, not fixed cost
-SCALING_REPLICATE = int(os.environ.get("DEEPIE_SCALING_REPLICATE", "192"))
+SCALING_REPLICATE = int(os.environ.get("DEEPIE_SCALING_REPLICATE", "384"))
 SCALING_LEVELS = (8, 32)  # the north rule's N -> 4N pair
 
 
@@ -171,6 +171,10 @@ def main() -> None:
     fsec, n_triples = run_flagship(spark, SF_DIR)
     queries["flagship_triples"] = round(fsec, 3)
     tph = n_triples / fsec * 3600.0
+    if "--no-scaling" not in sys.argv:
+        # materialize the replicated scaling corpus at full parallelism
+        # so neither timed subprocess pays the one-time write
+        _pages_parquet(spark, SF_DIR, SCALING_REPLICATE)
 
     print(f"flagship: {fsec:.1f}s", file=sys.stderr, flush=True)
     qmap = em.queries()

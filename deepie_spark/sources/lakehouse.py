@@ -198,9 +198,9 @@ class Lakehouse:
         THEN UPDATE WHEN NOT MATCHED THEN INSERT`` semantics: rows with
         matching keys are replaced, others inserted.
 
-        Physical plan note: the anti-join shuffles on the merge keys;
-        at scale the target should be bucketed by the same keys so the
-        join is co-located (Iceberg: bucket partition transform)."""
+        Rewrites the WHOLE table — fine for small state tables; use
+        :meth:`merge_upsert_bucketed` for the incremental-crawl graph
+        table (only buckets containing matched keys are rewritten)."""
         updates = updates.dropDuplicates(keys)
         if self.exists(name):
             cur = self.read(name)
@@ -209,3 +209,81 @@ class Lakehouse:
         else:
             merged = updates
         return self.write_stage(merged, name, run_id=run_id)
+
+    # ---- bucket-pruned MERGE ----
+
+    @staticmethod
+    def _key_bucket(keys: list[str], n_buckets: int):
+        return F.pmod(
+            F.xxhash64(*[F.col(k).cast("string") for k in keys]),
+            F.lit(n_buckets),
+        ).cast("int")
+
+    def merge_upsert_bucketed(
+        self, updates: DataFrame, name: str, keys: list[str],
+        n_buckets: int = 32, run_id: str = "adhoc",
+    ) -> int:
+        """MERGE that rewrites ONLY the key-buckets the updates touch.
+
+        Layout: every version directory is hash-partitioned on an
+        internal ``_kb = pmod(xxhash64(keys), n_buckets)`` column
+        (Iceberg: ``bucket(n, key)`` partition transform).  A merge
+        computes the set of touched buckets (<= n_buckets ints on the
+        driver), HARDLINKS the untouched buckets' parquet files into
+        the new version directory (the parquet-lite analogue of Iceberg
+        manifests reusing unchanged data files — no data movement), and
+        runs the anti-join + union over the touched buckets only.  An
+        incremental crawl merging 0.1% of urls rewrites ~0.1% of the
+        table instead of 100%."""
+        t0 = time.time()
+        kb = self._key_bucket(keys, n_buckets)
+        updates = updates.dropDuplicates(keys).withColumn("_kb", kb)
+        v_old = self.current_version(name)
+        v = (v_old or 0) + 1
+        new_path = self._data_path(name, v)
+        self._table_dir(name).mkdir(parents=True, exist_ok=True)
+
+        if v_old is None:
+            updates.write.mode("overwrite").partitionBy("_kb").parquet(str(new_path))
+            written = self.spark.read.parquet(str(new_path))
+            rewritten = written.count()
+            touched = sorted(
+                r["_kb"] for r in written.select("_kb").distinct().collect()
+            )
+        else:
+            old_path = self._data_path(name, v_old)
+            touched = sorted(
+                r["_kb"] for r in updates.select("_kb").distinct().collect()
+            )
+            touched_set = set(touched)
+            new_path.mkdir(parents=True, exist_ok=True)
+            # manifest reuse: untouched bucket dirs hardlink over
+            for d in sorted(old_path.glob("_kb=*")):
+                b = int(d.name.split("=", 1)[1])
+                if b in touched_set:
+                    continue
+                nd = new_path / d.name
+                nd.mkdir(exist_ok=True)
+                for f in d.iterdir():
+                    if f.is_file():
+                        os.link(f, nd / f.name)
+            # rewrite touched buckets only: partition pruning makes the
+            # scan read just those directories
+            cur = self.spark.read.parquet(str(old_path)).where(
+                F.col("_kb").isin(touched)
+            )
+            keep = cur.join(updates.select(*keys).distinct(), keys, "left_anti")
+            merged = keep.unionByName(updates)
+            merged.write.mode("append").partitionBy("_kb").parquet(str(new_path))
+            rewritten = (
+                self.spark.read.parquet(str(new_path))
+                .where(F.col("_kb").isin(touched)).count()
+            )
+
+        wall_ms = int((time.time() - t0) * 1000)
+        self.spark.createDataFrame(
+            [(run_id, name, v, rewritten, len(touched), 0, wall_ms, time.time())],
+            LINEAGE_DDL,
+        ).write.mode("append").parquet(str(self.root / "_lineage"))
+        self._commit(name, v)
+        return v

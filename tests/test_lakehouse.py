@@ -51,3 +51,53 @@ def test_merge_is_idempotent(spark, lake):
     lake.merge_upsert(upd, "m2", ["k"])
     lake.merge_upsert(upd, "m2", ["k"])
     assert lake.read("m2").count() == 1
+
+
+def test_merge_upsert_bucketed_prunes_rewrite(spark, lake):
+    """Bucket-pruned MERGE: only touched key-buckets are rewritten;
+    untouched buckets' parquet files are HARDLINKED (same inode) into
+    the new version — the Iceberg manifest-reuse analogue."""
+    import os
+
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    v1 = lake.merge_upsert_bucketed(base, "kg", ["k"], n_buckets=16)
+    assert v1 == 1
+
+    upd = spark.createDataFrame(
+        [(5, 999), (2005, 42)], "k bigint, v bigint"
+    )  # one update + one insert, landing in 1-2 buckets
+    v2 = lake.merge_upsert_bucketed(upd, "kg", ["k"], n_buckets=16)
+    assert v2 == 2
+
+    got = {r["k"]: r["v"] for r in lake.read("kg").collect()}
+    assert got[5] == 999 and got[2005] == 42 and got[6] == 60
+    assert len(got) == 2001
+
+    # physical pruning: untouched bucket files share inodes with v1
+    d1 = lake._data_path("kg", 1)
+    d2 = lake._data_path("kg", 2)
+    from deepie_spark.sources.lakehouse import Lakehouse as LH
+    touched = {
+        r["b"] for r in upd.select(
+            LH._key_bucket(["k"], 16).alias("b")
+        ).distinct().collect()
+    }
+    linked = rewritten = 0
+    for bdir in d2.glob("_kb=*"):
+        b = int(bdir.name.split("=")[1])
+        old = d1 / bdir.name
+        inodes_old = {f.stat().st_ino for f in old.iterdir()} if old.exists() else set()
+        inodes_new = {f.stat().st_ino for f in bdir.iterdir() if f.is_file()}
+        if b in touched:
+            assert not (inodes_new & inodes_old)  # actually rewritten
+            rewritten += 1
+        else:
+            assert inodes_new == inodes_old  # hardlinked, zero copy
+            linked += 1
+    assert rewritten == len(touched) and linked >= 14
+
+    # merge lineage row records the pruned write
+    lin = lake.lineage().filter("stage = 'kg' and version = 2").first()
+    assert lin["n_partitions"] == len(touched)

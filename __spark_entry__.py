@@ -8,11 +8,14 @@
                     cross-engine value hashes cannot drift on the last
                     ulp of a double.
 
-Non-SQL-expressible entries (the neural-style cascade, LSH-bucketed
-ANN restricted search) intentionally have no oracle -> the driver
-records a rows-only check; their correctness is covered by
-tests/test_extract_e2e.py (P/R vs planted gold + oracle equality) and
-tests/test_similarity.py (recall vs brute force).
+EVERY entry has an oracle.  Operators whose semantics aren't
+SQL-expressible (trie matching, WordPiece tokenization, the cascades,
+the numpy MinHash family, hyperplane LSH) are checked via *fixture
+oracles*: the single-row python oracle materializes the expected
+output to parquet (``_materialize_fixtures``) and the DuckDB side is
+``SELECT * FROM read_parquet(...)`` — so the driver's rows+schema+hash
+gate verifies the distributed plumbing (Arrow batching, shuffles,
+broadcasts) against reference-semantics python, end to end.
 """
 
 from __future__ import annotations

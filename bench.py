@@ -145,7 +145,19 @@ def flagship_only(cpus: int) -> None:
     (probe-measured throughput varies ~3x between moments); the minimum
     is the least-contended estimate of engine throughput.  The host
     probe brackets the trials (max of before/after = the least-throttled
-    view of what the host allowed at this concurrency)."""
+    view of what the host allowed at this concurrency).
+
+    CPU affinity pins this process tree (JVM task threads, GC, python
+    workers, the probe) to exactly ``cpus`` cores: local[8] on an
+    otherwise-idle 32-core box would silently use extra cores for JVM
+    scan/GC threads while 8 python workers burn 8 more — a fake
+    16-core "8-core" run that inflates the small-N baseline and makes
+    N->4N efficiency unmeasurable.  A real 8-executor cluster has 8
+    cores TOTAL; the pin reproduces that."""
+    try:
+        os.sched_setaffinity(0, set(range(cpus)))
+    except (AttributeError, OSError):
+        pass  # non-linux: fall back to unpinned
     probe0 = _probe_at(cpus)
     spark = _make_spark(cpus)
     best, n, trials = None, 0, []

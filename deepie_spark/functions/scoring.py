@@ -96,17 +96,23 @@ class TriggerModel:
 
     def _occurrences(self, tokens: list[str]):
         """All (pos, pid, trig_len) trigger hits, sorted by position then
-        longest trigger first (so nested triggers prefer the long one)."""
-        occ = []
+        longest trigger first (so nested triggers prefer the long one).
+
+        One pass builds a first-token -> positions index; each trigger
+        then probes only its candidate positions (O(n + hits) instead of
+        O(n x triggers))."""
         n = len(tokens)
+        index: dict[str, list[int]] = {}
+        for i, t in enumerate(tokens):
+            index.setdefault(t, []).append(i)
+        occ = []
         for pid, seqs in self.triggers.items():
             for seq in seqs:
                 m = len(seq)
                 if m == 0 or m > n:
                     continue
-                first = seq[0]
-                for i in range(n - m + 1):
-                    if tokens[i] == first and tuple(tokens[i : i + m]) == seq:
+                for i in index.get(seq[0], ()):
+                    if i + m <= n and tuple(tokens[i : i + m]) == seq:
                         occ.append((i, pid, m))
         occ.sort(key=lambda t: (t[0], -t[2]))
         return occ

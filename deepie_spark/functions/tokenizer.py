@@ -67,10 +67,16 @@ def normalize_word(word: str) -> str:
 class WordPieceTokenizer:
     """Greedy longest-match WordPiece over a fixed vocab."""
 
+    _CACHE_CAP = 200_000  # bounded per-worker memo (~tens of MB worst case)
+
     def __init__(self, vocab: dict[str, int], max_word_chars: int = 100):
         self.vocab = vocab
         self.unk_id = vocab[UNK]
         self.max_word_chars = max_word_chars
+        # element -> pieces memo: web-text elements repeat heavily
+        # (common words, CJK singletons), and normalize+wordpiece is
+        # ~45% of page cost; purely a cache, results are unchanged
+        self._memo: dict[str, list[str]] = {}
 
     def wordpiece(self, word: str) -> list[str]:
         """Split one whitespace-free word into subword pieces.
@@ -115,10 +121,14 @@ class WordPieceTokenizer:
 
     def tokenize(self, element: str) -> list[str]:
         """Tokenize one sub-text element (a CJK/punct char or a run)."""
+        got = self._memo.get(element)
+        if got is not None:
+            return got
         word = normalize_word(element)
-        if not word:
-            return []
-        return self.wordpiece(word)
+        pieces = self.wordpiece(word) if word else []
+        if len(self._memo) < self._CACHE_CAP:
+            self._memo[element] = pieces
+        return pieces
 
     def encode(self, tokens: list[str]) -> list[int]:
         v = self.vocab

@@ -531,7 +531,10 @@ def q_word_alignment(spark, sf_dir):
     """jieba-variant word segmentation + per-char word-id alignment
     (etl_span/data_loader.py:107, 283-292) over documents — FMM
     fallback segmenter (jieba not in this container), hash-checked
-    against the materialized python-twin fixture."""
+    against the materialized python-twin fixture.  The alignment array
+    is surfaced as md5(to_json(word_ids)) so every element is covered
+    by the value hash while the row stays scalar-only (the driver's
+    canonicalizer cannot sort/factorize array columns)."""
     _ensure(spark)
     from deepie_spark.functions.wordseg import align_word_features
 
@@ -539,7 +542,12 @@ def q_word_alignment(spark, sf_dir):
     w2i = {w: i + 1 for i, w in enumerate(sorted(lex))}
     lex_bc = spark.sparkContext.broadcast(lex)
     w2i_bc = spark.sparkContext.broadcast(w2i)
-    return align_word_features(_docs(spark, sf_dir), lex_bc, w2i_bc)
+    aligned = align_word_features(_docs(spark, sf_dir), lex_bc, w2i_bc)
+    return aligned.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.to_json("word_ids")).alias("word_ids_md5"),
+    )
 
 
 def q_etl_stl(spark, sf_dir):
@@ -711,6 +719,9 @@ def _expected_attributes(sf_dir):
 
 
 def _expected_word_alignment(sf_dir):
+    import hashlib
+    import json
+
     import duckdb
     import pyarrow as pa
 
@@ -725,11 +736,14 @@ def _expected_word_alignment(sf_dir):
     rows = []
     for doc_id, text in docs:
         t = (text or "").lower().replace(" ", "")
+        ids = char_word_ids(t, segment(t, lex), w2i)
+        # Spark's to_json(array<int>) compact form: [1,2,3]
+        blob = json.dumps(ids, separators=(",", ":")).encode()
         rows.append(
             {
                 "doc_id": doc_id,
                 "n_chars": len(t),
-                "word_ids": char_word_ids(t, segment(t, lex), w2i),
+                "word_ids_md5": hashlib.md5(blob).hexdigest(),
             }
         )
     return pa.Table.from_pylist(
@@ -737,7 +751,7 @@ def _expected_word_alignment(sf_dir):
         schema=pa.schema(
             [
                 ("doc_id", pa.int64()), ("n_chars", pa.int32()),
-                ("word_ids", pa.list_(pa.int32())),
+                ("word_ids_md5", pa.string()),
             ]
         ),
     )

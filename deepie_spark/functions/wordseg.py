@@ -73,7 +73,10 @@ def align_word_features(
 ):
     """(id, text) -> (id, n_chars, word_ids) in one Arrow-batched pass;
     the per-row kernel is :func:`char_word_ids` itself, so distributed
-    output == the single-row oracle by construction."""
+    output == the single-row oracle by construction.  The id column's
+    type is taken from ``texts_df``'s schema, so string/UUID ids pass
+    through unchanged (not hardcoded bigint)."""
+    id_ddl = texts_df.schema[id_col].dataType.simpleString()
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lex: set[str] = lexicon_bc.value
@@ -91,5 +94,5 @@ def align_word_features(
             )
 
     return texts_df.select(id_col, text_col).mapInPandas(
-        kernel, f"{id_col} bigint, n_chars int, word_ids array<int>"
+        kernel, f"{id_col} {id_ddl}, n_chars int, word_ids array<int>"
     )

@@ -91,24 +91,26 @@ def micro_prf(counts_df: DataFrame) -> DataFrame:
 
 def per_predicate_prf(pred_df: DataFrame, gold_df: DataFrame) -> DataFrame:
     """Per-predicate tp/fp/fn + P/R/F1 (the reference's only grouped
-    metric, attribute train.py:185-233)."""
+    metric, attribute train.py:185-233).
+
+    ONE full-outer join + ONE grouped aggregation (the ``_tp_fp_fn``
+    pattern) — the previous inner + two anti-join shape recomputed the
+    same pred-vs-gold join three times, three full shuffles at 100 TB.
+    """
     keys = ["url", "k_subject", "k_predicate", "k_object"]
     p = _keyed(pred_df, normalized=False)
     g = _keyed(gold_df, normalized=False)
-    tp = p.join(g, keys, "inner").groupBy("k_predicate").agg(
-        F.count(F.lit(1)).alias("tp")
-    )
-    fp = p.join(g, keys, "left_anti").groupBy("k_predicate").agg(
-        F.count(F.lit(1)).alias("fp")
-    )
-    fn = g.join(p, keys, "left_anti").groupBy("k_predicate").agg(
-        F.count(F.lit(1)).alias("fn")
+    joined = p.withColumn("_p", F.lit(1)).join(
+        g.withColumn("_g", F.lit(1)), keys, "full_outer"
     )
     eps = 1e-10
-    out = (
-        tp.join(fp, "k_predicate", "full")
-        .join(fn, "k_predicate", "full")
-        .na.fill(0, ["tp", "fp", "fn"])
+    out = joined.groupBy("k_predicate").agg(
+        F.coalesce(F.sum(F.col("_p") * F.col("_g")), F.lit(0))
+        .cast("bigint").alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("_g").isNull(), 1)), F.lit(0))
+        .cast("bigint").alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("_p").isNull(), 1)), F.lit(0))
+        .cast("bigint").alias("fn"),
     )
     return out.select(
         F.col("k_predicate").alias("predicate"),
@@ -128,10 +130,15 @@ def entity_prf(pred_df: DataFrame, gold_df: DataFrame) -> DataFrame:
 
 def badcases(pred_df: DataFrame, gold_df: DataFrame) -> DataFrame:
     """Mismatch report (attribute train.py:236-269 badcase sink):
-    false positives and false negatives, labeled."""
+    false positives and false negatives, labeled.  Single full-outer
+    join instead of two anti-joins (one shuffle, not two)."""
     keys = ["url", "k_subject", "k_predicate", "k_object"]
     p = _keyed(pred_df, normalized=False)
     g = _keyed(gold_df, normalized=False)
-    fp = p.join(g, keys, "left_anti").withColumn("kind", F.lit("fp"))
-    fn = g.join(p, keys, "left_anti").withColumn("kind", F.lit("fn"))
-    return fp.unionByName(fn)
+    joined = p.withColumn("_p", F.lit(1)).join(
+        g.withColumn("_g", F.lit(1)), keys, "full_outer"
+    )
+    return joined.filter(F.col("_p").isNull() | F.col("_g").isNull()).select(
+        *keys,
+        F.when(F.col("_g").isNull(), F.lit("fp")).otherwise(F.lit("fn")).alias("kind"),
+    )

@@ -70,3 +70,44 @@ def crf_decode_udf(transitions: np.ndarray, tags: list[str]):
             yield out
 
     return kernel
+
+
+def viterbi_decode_batch(
+    emissions: np.ndarray,
+    transitions: np.ndarray,
+    start_transitions: np.ndarray | None = None,
+    end_transitions: np.ndarray | None = None,
+) -> np.ndarray:
+    """Batched Viterbi: [S, L, K] emissions, shared [K, K] transitions
+    -> [S, L] tag ids.  Bit-identical to running :func:`viterbi_decode`
+    per sequence (same argmax tie-breaking: lowest index wins), but the
+    K x K DP step is shared across the whole batch in one numpy op —
+    the per-subject decode of a page becomes one pass (ETL-STL pages
+    routinely carry several subjects; S independent python Viterbis
+    were the per-page CPU hotspot)."""
+    emissions = np.asarray(emissions, dtype=np.float64)
+    S, L, K = emissions.shape
+    if L == 0 or S == 0:
+        return np.zeros((S, 0), dtype=np.int64)
+    start = np.zeros(K) if start_transitions is None else start_transitions
+    end = np.zeros(K) if end_transitions is None else end_transitions
+
+    score = start[None, :] + emissions[:, 0, :]  # [S, K]
+    history = np.empty((S, max(L - 1, 0), K), dtype=np.int64)
+    for t in range(1, L):
+        total = score[:, :, None] + transitions[None, :, :]  # [S, from, to]
+        best_prev = total.argmax(axis=1)  # [S, K]
+        history[:, t - 1, :] = best_prev
+        score = np.take_along_axis(
+            total, best_prev[:, None, :], axis=1
+        )[:, 0, :] + emissions[:, t, :]
+    score = score + end[None, :]
+
+    rows = np.arange(S)
+    last = score.argmax(axis=1)  # [S]
+    path = np.empty((S, L), dtype=np.int64)
+    path[:, L - 1] = last
+    for t in range(L - 2, -1, -1):
+        last = history[rows, t, last]
+        path[:, t] = last
+    return path

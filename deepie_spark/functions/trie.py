@@ -129,3 +129,72 @@ def build_alias_trie(
             ),
         )
     return trie
+
+
+class CharAhoCorasick:
+    """Char-level Aho-Corasick automaton: ALL occurrences of ALL
+    patterns in one O(len(text) + matches) pass.
+
+    Replaces per-pattern ``str.find`` scan loops (O(|dict| * |text|)
+    per page — the executor-CPU scale-killer with a realistic
+    million-entry alias dictionary; see StlExtractor).  Classic public
+    algorithm (Aho & Corasick 1975), fresh implementation.
+
+    Plain lists/dicts so ``sc.broadcast`` pickles it cheaply; built
+    once on the driver, shared read-only by every pandas-UDF worker.
+    """
+
+    def __init__(self, patterns: dict[str, object]):
+        """patterns: surface -> payload (any picklable object)."""
+        # nodes: list of {char: next_state}; out: per-state list of
+        # (pattern_len, payload) completed AT this state
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[tuple[int, object]]] = [[]]
+        for pat, payload in patterns.items():
+            if not pat:
+                continue
+            s = 0
+            for ch in pat:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[s][ch] = nxt
+                s = nxt
+            self.out[s].append((len(pat), payload))
+        # BFS fail links; merge output sets down the fail chain so a
+        # match emits every suffix-pattern too (overlap semantics of
+        # repeated str.find over every pattern)
+        self.fail = [0] * len(self.goto)
+        queue = list(self.goto[0].values())
+        for s in queue:
+            self.fail[s] = 0
+        i = 0
+        while i < len(queue):
+            s = queue[i]
+            i += 1
+            for ch, nxt in self.goto[s].items():
+                queue.append(nxt)
+                f = self.fail[s]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.goto[f].get(ch, 0)
+                if self.fail[nxt] == nxt:
+                    self.fail[nxt] = 0
+                self.out[nxt] = self.out[nxt] + self.out[self.fail[nxt]]
+
+    def find_all(self, text: str) -> list[tuple[int, int, object]]:
+        """[(start, length, payload)] for every occurrence, in text
+        order (ascending end position, then longest pattern first)."""
+        hits: list[tuple[int, int, object]] = []
+        s = 0
+        goto, fail, out = self.goto, self.fail, self.out
+        for i, ch in enumerate(text):
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                for ln, payload in out[s]:
+                    hits.append((i - ln + 1, ln, payload))
+        return hits

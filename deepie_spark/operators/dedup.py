@@ -209,10 +209,18 @@ def lsh_candidate_pairs(
     key.  ``max_bucket`` caps it: bucket populations are counted first
     (one cheap aggregation on the same key the join shuffles on) and
     buckets above the cap are dropped before the self-join, keeping
-    pair generation linear in corpus size.  Oversized buckets are by
-    construction near-identical content — exact hash dedup
-    (``exact_dedup``) owns that regime, so dropping them here loses
-    nothing.  AQE skew-join covers moderate skew below the cap."""
+    pair generation linear in corpus size.
+
+    Recall tradeoff, stated plainly: dropping a bucket loses ALL its
+    candidate pairs from that band.  With wide bands (many hash rows
+    per band) an oversized bucket is near-identical content that exact
+    hash dedup (``exact_dedup``) already owns, so the loss is small —
+    but with narrow bands (e.g. 2 rows/band, as the driver entry uses)
+    a hot bucket can hold genuinely distinct docs, and pairs whose
+    ONLY agreeing band was capped are missed.  Mitigations when recall
+    matters: raise ``max_bucket``, use more rows per band, or route
+    oversized buckets through ``exact_dedup`` on the full text.  AQE
+    skew-join covers moderate skew below the cap."""
     if max_bucket is not None:
         sizes = bands.groupBy("band_id", "band_hash").agg(
             F.count(F.lit(1)).alias("_bucket_n")

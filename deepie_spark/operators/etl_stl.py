@@ -35,7 +35,8 @@ import numpy as np
 import pandas as pd
 
 from deepie_spark.config.schema import SpoSchema
-from deepie_spark.functions.crf import viterbi_decode
+from deepie_spark.functions.crf import viterbi_decode_batch
+from deepie_spark.functions.trie import CharAhoCorasick
 
 SUBJ_START_T = 0.5
 SUBJ_END_T = 0.4
@@ -139,17 +140,25 @@ class StlExtractor:
             },
             key=lambda t: (-len(t[0]), t[0], t[1]),
         )
+        # one-pass multi-pattern matchers: candidate generation is
+        # O(|text| + matches) per page regardless of dictionary size
+        # (per-surface str.find loops were O(|dict| * |text|) — the
+        # executor-CPU scale-killer at a realistic million-alias dict)
+        self._surface_ac = CharAhoCorasick({s: None for s in self.surfaces})
+        trig_pids: dict[str, list[int]] = {}
+        for ph, pid in self.triggers:
+            trig_pids.setdefault(ph, []).append(pid)
+        self._trigger_ac = CharAhoCorasick(
+            {ph: sorted(pids) for ph, pids in trig_pids.items()}
+        )
 
     # -- candidate spans ----------------------------------------------------
 
     def _value_spans(self, text: str) -> list[tuple[int, int]]:
         """Inclusive char spans: alias occurrences + maximal digit runs."""
-        spans: set[tuple[int, int]] = set()
-        for s in self.surfaces:
-            at = text.find(s)
-            while at >= 0:
-                spans.add((at, at + len(s) - 1))
-                at = text.find(s, at + 1)
+        spans: set[tuple[int, int]] = {
+            (at, at + ln - 1) for at, ln, _ in self._surface_ac.find_all(text)
+        }
         i, n = 0, len(text)
         while i < n:
             if text[i].isdigit():
@@ -174,13 +183,17 @@ class StlExtractor:
             cur = by_start.get(s)
             if cur is None or (e - s) > (cur[1] - cur[0]):
                 by_start[s] = (s, e)
-        hits = []
-        for trig, pid in self.triggers:
-            at = text.find(trig)
-            while at >= 0:
-                hits.append((at, len(trig), pid))
-                at = text.find(trig, at + 1)
-        hits.sort(key=lambda h: (h[0], -h[1]))
+        # one AC pass over the text; sort key (pos, -len, pid) is
+        # byte-identical to the original per-trigger str.find loop in
+        # (-len, phrase, pid) order followed by a stable (pos, -len)
+        # sort: equal (pos, len) implies the same phrase, leaving pid
+        # ascending as the residual order either way
+        hits = [
+            (at, ln, pid)
+            for at, ln, pids in self._trigger_ac.find_all(text)
+            for pid in pids
+        ]
+        hits.sort(key=lambda h: (h[0], -h[1], h[2]))
         out, seen_spans = [], set()
         for pos, m, pid in hits:
             # nested shorter triggers at an already-claimed position lose
@@ -228,11 +241,15 @@ class StlExtractor:
             return []
         scan = self.scan(context)
         subjects = decode_subjects_stl(self.subject_grid(scan, seq_len), seq_len)
+        if not subjects:
+            return []
         zeros = np.zeros((len(self.labels), len(self.labels)))
+        # all subjects of the page decoded in ONE batched Viterbi (the
+        # K x K DP step is shared; bit-identical to per-subject decode)
+        ems = np.stack([self.emissions(scan, s, seq_len) for s in subjects])
+        paths = viterbi_decode_batch(ems, zeros)
         out: list[tuple[str, str, str]] = []
-        for subj in subjects:
-            em = self.emissions(scan, subj, seq_len)
-            tag_ids = viterbi_decode(em, zeros)
+        for subj, tag_ids in zip(subjects, paths):
             for o1, o2, rel in find_tag_position(tag_ids, seq_len, self.labels):
                 out.append(
                     (context[subj[0] : subj[1] + 1], rel, context[o1 : o2 + 1])

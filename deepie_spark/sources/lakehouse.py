@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from pathlib import Path
@@ -64,6 +65,18 @@ class Lakehouse:
             return None
         return int(json.loads(p.read_text())["version"])
 
+    def layout(self, name: str) -> dict | None:
+        """Physical-layout metadata recorded at commit time (None for
+        plain stage tables): ``{"bucketed": True, "n_buckets": K,
+        "keys": [...]}`` for tables written by
+        :meth:`merge_upsert_bucketed`.  The Iceberg analogue is the
+        table's partition spec — it travels with the table, so a later
+        writer cannot silently merge in a different hash space."""
+        p = self._pointer(name)
+        if not p.exists():
+            return None
+        return json.loads(p.read_text()).get("layout")
+
     def _data_path(self, name: str, version: int) -> Path:
         return self._table_dir(name) / f"v={version}"
 
@@ -75,11 +88,19 @@ class Lakehouse:
         v = self.current_version(name)
         if v is None:
             raise FileNotFoundError(f"lakehouse table {name} does not exist")
-        return self.spark.read.parquet(str(self._data_path(name, v)))
+        df = self.spark.read.parquet(str(self._data_path(name, v)))
+        # the bucket id is physical layout, not data: consumers of a
+        # bucketed table see the same schema as a plain stage table
+        if (self.layout(name) or {}).get("bucketed") and "_kb" in df.columns:
+            df = df.drop("_kb")
+        return df
 
-    def _commit(self, name: str, version: int) -> None:
+    def _commit(self, name: str, version: int, layout: dict | None = None) -> None:
         tmp = self._pointer(name).with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
-        tmp.write_text(json.dumps({"version": version, "ts": time.time()}))
+        meta = {"version": version, "ts": time.time()}
+        if layout:
+            meta["layout"] = layout
+        tmp.write_text(json.dumps(meta))
         os.replace(tmp, self._pointer(name))  # atomic pointer swap
 
     # ---- stage writes with lineage ----
@@ -95,6 +116,15 @@ class Lakehouse:
         """Write a new version of a stage table + lineage rows.
         Returns the committed version number."""
         t0 = time.time()
+        lay = self.layout(name)
+        if lay and lay.get("bucketed"):
+            raise ValueError(
+                f"table {name} has bucketed layout "
+                f"(n_buckets={lay['n_buckets']}, keys={lay['keys']}); "
+                f"plain write_stage/merge_upsert would treat _kb as a "
+                f"data column and break bucket pruning — use "
+                f"merge_upsert_bucketed"
+            )
         v = (self.current_version(name) or 0) + 1
         path = self._data_path(name, v)
         self._table_dir(name).mkdir(parents=True, exist_ok=True)
@@ -234,18 +264,55 @@ class Lakehouse:
         manifests reusing unchanged data files — no data movement), and
         runs the anti-join + union over the touched buckets only.  An
         incremental crawl merging 0.1% of urls rewrites ~0.1% of the
-        table instead of 100%."""
+        table instead of 100%.
+
+        Crash-safe and idempotent: everything is staged into a
+        ``v=N.tmp-<uuid>`` directory and atomically renamed to ``v=N``
+        before the pointer commit; a crash at any point leaves the
+        committed version untouched and a retry re-derives the same
+        next version from scratch (stale tmp/uncommitted dirs are
+        swept first).  The layout (n_buckets + keys) is recorded in the
+        version pointer and validated on every later merge — merging
+        with a different bucket count, or onto a table created by
+        ``write_stage``/``merge_upsert``, raises instead of silently
+        hardlinking buckets keyed in a different hash space (which
+        would commit duplicate keys)."""
         t0 = time.time()
+        lay = self.layout(name)
+        v_old = self.current_version(name)
+        if v_old is not None:
+            if not (lay and lay.get("bucketed")):
+                raise ValueError(
+                    f"table {name} exists without bucketed layout; "
+                    f"merge_upsert_bucketed onto it would hash-partition "
+                    f"only the new rows — use merge_upsert, or create the "
+                    f"table with merge_upsert_bucketed from the start"
+                )
+            if lay["n_buckets"] != n_buckets or lay["keys"] != list(keys):
+                raise ValueError(
+                    f"table {name} is bucketed with n_buckets="
+                    f"{lay['n_buckets']} keys={lay['keys']}; merge called "
+                    f"with n_buckets={n_buckets} keys={list(keys)} — "
+                    f"bucket ids would land in a different hash space"
+                )
         kb = self._key_bucket(keys, n_buckets)
         updates = updates.dropDuplicates(keys).withColumn("_kb", kb)
-        v_old = self.current_version(name)
         v = (v_old or 0) + 1
         new_path = self._data_path(name, v)
-        self._table_dir(name).mkdir(parents=True, exist_ok=True)
+        tdir = self._table_dir(name)
+        tdir.mkdir(parents=True, exist_ok=True)
+        # crash-retry hygiene: sweep uncommitted leftovers (a tmp dir
+        # from a mid-write crash, or v=N itself from a crash between
+        # rename and pointer commit) — single-writer by design
+        for stale in tdir.glob("v=*.tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        if new_path.exists():
+            shutil.rmtree(new_path)
+        tmp_path = tdir / f"v={v}.tmp-{uuid.uuid4().hex[:8]}"
 
         if v_old is None:
-            updates.write.mode("overwrite").partitionBy("_kb").parquet(str(new_path))
-            written = self.spark.read.parquet(str(new_path))
+            updates.write.mode("overwrite").partitionBy("_kb").parquet(str(tmp_path))
+            written = self.spark.read.parquet(str(tmp_path))
             rewritten = written.count()
             touched = sorted(
                 r["_kb"] for r in written.select("_kb").distinct().collect()
@@ -256,13 +323,13 @@ class Lakehouse:
                 r["_kb"] for r in updates.select("_kb").distinct().collect()
             )
             touched_set = set(touched)
-            new_path.mkdir(parents=True, exist_ok=True)
+            tmp_path.mkdir(parents=True, exist_ok=True)
             # manifest reuse: untouched bucket dirs hardlink over
             for d in sorted(old_path.glob("_kb=*")):
                 b = int(d.name.split("=", 1)[1])
                 if b in touched_set:
                     continue
-                nd = new_path / d.name
+                nd = tmp_path / d.name
                 nd.mkdir(exist_ok=True)
                 for f in d.iterdir():
                     if f.is_file():
@@ -274,16 +341,20 @@ class Lakehouse:
             )
             keep = cur.join(updates.select(*keys).distinct(), keys, "left_anti")
             merged = keep.unionByName(updates)
-            merged.write.mode("append").partitionBy("_kb").parquet(str(new_path))
+            merged.write.mode("append").partitionBy("_kb").parquet(str(tmp_path))
             rewritten = (
-                self.spark.read.parquet(str(new_path))
+                self.spark.read.parquet(str(tmp_path))
                 .where(F.col("_kb").isin(touched)).count()
             )
+        os.replace(tmp_path, new_path)  # atomic: v=N appears fully-built
 
         wall_ms = int((time.time() - t0) * 1000)
         self.spark.createDataFrame(
             [(run_id, name, v, rewritten, len(touched), 0, wall_ms, time.time())],
             LINEAGE_DDL,
         ).write.mode("append").parquet(str(self.root / "_lineage"))
-        self._commit(name, v)
+        self._commit(
+            name, v,
+            layout={"bucketed": True, "n_buckets": n_buckets, "keys": list(keys)},
+        )
         return v

@@ -115,3 +115,29 @@ def test_attribute_spark_equals_oracle(spark, attr_ex):
             want.add((r["rec_id"], a["attr_type"], a["value"],
                       a["val_start"], a["val_end"]))
     assert got == want and len(got) > 0
+
+
+def test_viterbi_batch_equals_loop_on_ties():
+    from deepie_spark.functions.crf import viterbi_decode_batch
+
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        s, l, k = int(rng.integers(1, 6)), int(rng.integers(1, 20)), int(rng.integers(2, 8))
+        em = rng.integers(0, 4, size=(s, l, k)).astype(float)  # ties likely
+        tr = rng.integers(0, 3, size=(k, k)).astype(float)
+        st = rng.integers(0, 3, size=k).astype(float)
+        en = rng.integers(0, 3, size=k).astype(float)
+        batch = viterbi_decode_batch(em, tr, st, en)
+        for i in range(s):
+            assert list(batch[i]) == viterbi_decode(em[i], tr, st, en)
+
+
+def test_viterbi_batch_empty():
+    from deepie_spark.functions.crf import viterbi_decode_batch
+
+    assert viterbi_decode_batch(
+        np.zeros((0, 5, 3)), np.zeros((3, 3))
+    ).shape == (0, 0)
+    assert viterbi_decode_batch(
+        np.zeros((2, 0, 3)), np.zeros((3, 3))
+    ).shape == (2, 0)

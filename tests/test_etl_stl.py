@@ -166,3 +166,68 @@ def test_stl_plan_is_shuffle_free(spark):
     bc = spark.sparkContext.broadcast(E.StlExtractor(SYNTH_SCHEMA, world.alias_rows))
     p = plan_of(E.extract_stl_triples(pages_df, bc))
     assert "Exchange" not in p and "MapInPandas" in p
+
+
+def test_value_spans_ac_equals_find_loop(extractor):
+    """The AC candidate generator must reproduce the per-surface
+    str.find scan exactly (spans set equality on adversarial text)."""
+    texts = [
+        "",
+        "no hits at all 123",
+        "".join(extractor.surfaces[:5]) * 3,
+        (extractor.surfaces[0] if extractor.surfaces else "x") * 4 + "99",
+    ]
+    for text in texts:
+        spans = set()
+        for s in extractor.surfaces:
+            at = text.find(s)
+            while at >= 0:
+                spans.add((at, at + len(s) - 1))
+                at = text.find(s, at + 1)
+        i, n = 0, len(text)
+        while i < n:
+            if text[i].isdigit():
+                j = i
+                while j + 1 < n and text[j + 1].isdigit():
+                    j += 1
+                spans.add((i, j))
+                i = j + 1
+            else:
+                i += 1
+        assert extractor._value_spans(text) == sorted(spans)
+
+
+def test_scan_flat_under_20k_alias_dictionary():
+    """Candidate generation must be O(|text|), not O(|dict|*|text|):
+    growing the alias dictionary 100x must not grow per-page scan time
+    proportionally (the 100-TB executor-CPU axis)."""
+    import time
+
+    from deepie_spark.config.schema import SYNTH_SCHEMA
+    from deepie_spark.sources.synth import gen_world
+
+    world = gen_world()
+    small = E.StlExtractor(SYNTH_SCHEMA, world.alias_rows)
+    big_rows = list(world.alias_rows) + [
+        {"alias": f"zz{i:05d}q", "canonical_id": 10_000 + i,
+         "entity_type": "Noise", "weight": 1.0}
+        for i in range(20_000)
+    ]
+    big = E.StlExtractor(SYNTH_SCHEMA, big_rows)
+    text = E.norm_duie1("".join(a["alias"] for a in world.alias_rows[:30]) + "12月")
+
+    # results on text containing no noise aliases must be identical
+    assert big.extract_page_py(text) == small.extract_page_py(text)
+
+    reps = 200
+    t0 = time.time()
+    for _ in range(reps):
+        small.scan(text)
+    t_small = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        big.scan(text)
+    t_big = time.time() - t0
+    # 100x dictionary -> same-order scan cost (generous 5x bound for
+    # host noise; the old find-loop would be ~100x)
+    assert t_big < max(t_small, 1e-3) * 5, (t_small, t_big)

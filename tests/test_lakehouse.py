@@ -101,3 +101,65 @@ def test_merge_upsert_bucketed_prunes_rewrite(spark, lake):
     # merge lineage row records the pruned write
     lin = lake.lineage().filter("stage = 'kg' and version = 2").first()
     assert lin["n_partitions"] == len(touched)
+
+
+def test_bucketed_layout_recorded_and_kb_hidden(spark, lake):
+    base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    lake.merge_upsert_bucketed(base, "kg2", ["k"], n_buckets=8)
+    assert lake.layout("kg2") == {
+        "bucketed": True, "n_buckets": 8, "keys": ["k"]
+    }
+    # consumers see the logical schema — no internal _kb column
+    assert set(lake.read("kg2").columns) == {"k", "v"}
+    # plain stage tables carry no layout
+    lake.write_stage(spark.range(3), "plain")
+    assert lake.layout("plain") is None
+
+
+def test_bucketed_merge_rejects_layout_mismatch(spark, lake):
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    lake.merge_upsert_bucketed(df, "kg3", ["k"], n_buckets=8)
+    with pytest.raises(ValueError, match="different hash space"):
+        lake.merge_upsert_bucketed(df, "kg3", ["k"], n_buckets=16)
+    with pytest.raises(ValueError, match="different hash space"):
+        lake.merge_upsert_bucketed(
+            df.withColumnRenamed("v", "k2").withColumn("v", F.lit("x")),
+            "kg3", ["k", "k2"], n_buckets=8,
+        )
+    # bucketed merge onto a plain table: refuse (old-bucket hardlinks
+    # would be keyed in a different hash space)
+    lake.merge_upsert(df, "plain2", ["k"])
+    with pytest.raises(ValueError, match="without bucketed layout"):
+        lake.merge_upsert_bucketed(df, "plain2", ["k"], n_buckets=8)
+    # and the reverse: plain writes onto a bucketed table refuse too
+    with pytest.raises(ValueError, match="bucketed layout"):
+        lake.merge_upsert(df, "kg3", ["k"])
+    with pytest.raises(ValueError, match="bucketed layout"):
+        lake.write_stage(df, "kg3")
+
+
+def test_bucketed_merge_crash_retry_idempotent(spark, lake):
+    """A crash after data-dir writes but before the pointer commit must
+    not break the retry (the round-2 failure mode: os.link hitting
+    FileExistsError on leftover v=N dirs)."""
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    lake.merge_upsert_bucketed(base, "kg4", ["k"], n_buckets=8)
+    upd = spark.createDataFrame([(5, 999)], "k bigint, v bigint")
+
+    # simulate: a previous attempt died after building v=2 (fully or
+    # partially) without committing the pointer
+    import shutil
+
+    v2 = lake._data_path("kg4", 2)
+    v1 = lake._data_path("kg4", 1)
+    shutil.copytree(v1, v2)  # stale, uncommitted version dir
+    (lake._table_dir("kg4") / "v=2.tmp-deadbeef").mkdir()  # stale tmp
+
+    got_v = lake.merge_upsert_bucketed(upd, "kg4", ["k"], n_buckets=8)
+    assert got_v == 2
+    got = {r["k"]: r["v"] for r in lake.read("kg4").collect()}
+    assert got[5] == 999 and got[6] == 60 and len(got) == 200
+    # stale tmp dirs were swept
+    assert not list(lake._table_dir("kg4").glob("v=*.tmp-*"))

@@ -115,3 +115,45 @@ def test_ner_spans_no_row_python_udf(spark):
 def test_ann_topk_take_ordered_not_global_sort(spark):
     p = plan_of(em.q_ann_topk(spark, SF))
     assert "TakeOrderedAndProject" in p  # no full sort shuffle for top-k
+
+
+def test_per_predicate_prf_is_single_join(spark):
+    """The grouped metric must be ONE full-outer join + ONE grouped agg
+    (the _tp_fp_fn pattern) — the old inner + two anti-join shape
+    recomputed the pred-vs-gold join three times."""
+    from deepie_spark.operators import metrics as M
+
+    pred = spark.createDataFrame(
+        [("u1", "s", "p1", {"@value": "o"})],
+        "url string, subject string, predicate string, object map<string,string>",
+    )
+    gold = spark.createDataFrame(
+        [("u1", "s", "p2", {"@value": "o"})],
+        "url string, subject string, predicate string, object map<string,string>",
+    )
+    plan = (
+        M.per_predicate_prf(pred, gold)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        + plan.count("ShuffledHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    assert joins == 1, plan
+    assert "FullOuter" in plan, plan
+
+
+def test_badcases_is_single_join(spark):
+    from deepie_spark.operators import metrics as M
+
+    pred = spark.createDataFrame(
+        [("u1", "s", "p1", {"@value": "o"})],
+        "url string, subject string, predicate string, object map<string,string>",
+    )
+    gold = spark.createDataFrame(
+        [("u1", "s", "p2", {"@value": "o"})],
+        "url string, subject string, predicate string, object map<string,string>",
+    )
+    plan = M.badcases(pred, gold)._jdf.queryExecution().executedPlan().toString()
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        + plan.count("ShuffledHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    assert joins == 1, plan
+    assert "FullOuter" in plan, plan

@@ -52,3 +52,38 @@ def test_build_from_rows_uses_tokenizer():
     t = build_alias_trie(rows, lambda s: s.lower().split())
     assert t.n_entries == 1
     assert t.match_all(["star", "film"])[0][2].alias == "Star Film"
+
+
+def test_char_aho_corasick_matches_brute_force():
+    import random
+
+    from deepie_spark.functions.trie import CharAhoCorasick
+
+    pats = {"he": "A", "she": "B", "his": "C", "hers": "D", "a": "E",
+            "shers": "F", "ss": "G"}
+    ac = CharAhoCorasick(pats)
+    rnd = random.Random(0)
+
+    def brute(text):
+        return sorted(
+            (i, len(p), v)
+            for i in range(len(text))
+            for p, v in pats.items()
+            if text.startswith(p, i)
+        )
+
+    for _ in range(300):
+        t = "".join(rnd.choice("hersiau") for _ in range(rnd.randint(0, 40)))
+        assert sorted(ac.find_all(t)) == brute(t)
+
+
+def test_char_aho_corasick_pickle_roundtrip():
+    import pickle
+
+    from deepie_spark.functions.trie import CharAhoCorasick
+
+    ac = CharAhoCorasick({"ab": 1, "bc": [2, 3]})
+    ac2 = pickle.loads(pickle.dumps(ac))
+    assert ac2.find_all("xabcx") == ac.find_all("xabcx") == [
+        (1, 2, 1), (2, 2, [2, 3])
+    ]

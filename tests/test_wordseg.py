@@ -66,3 +66,40 @@ def test_align_word_features_distributed(spark):
     # planted: "sparkqueryab" -> spark(5) query(5) ab(2)
     s, q, ab = W2I["spark"], W2I["query"], W2I["ab"]
     assert got[0][1] == [s] * 5 + [q] * 5 + [ab] * 2
+
+
+def test_segment_jieba_branch_via_stub(monkeypatch):
+    """Exercise the jieba code path (wordseg.py segment) without jieba
+    in the container: when _jieba is present, segment must return
+    jieba.lcut(text) verbatim (data_loader.py:107) and ignore the
+    FMM lexicon entirely."""
+    from deepie_spark.functions import wordseg
+
+    class _StubJieba:
+        @staticmethod
+        def lcut(text):
+            # deliberately different from FMM so the test can tell
+            # which branch ran; still concatenation-preserving
+            return [text[i : i + 2] for i in range(0, len(text), 2)]
+
+    monkeypatch.setattr(wordseg, "_jieba", _StubJieba)
+    got = wordseg.segment("abcdef", lexicon={"abcdef"})
+    assert got == ["ab", "cd", "ef"]  # NOT the FMM answer ["abcdef"]
+    # alignment invariant holds for the jieba branch too
+    ids = wordseg.char_word_ids("abcdef", got, {"ab": 7})
+    assert ids == [7, 7, 0, 0, 0, 0]
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("jieba") is None,
+    reason="jieba not installed in this container",
+)
+def test_segment_real_jieba_concat_invariant():
+    """When real jieba IS available: lcut must concatenate back to the
+    input (the reference's len(char_ids)==len(word_ids) assert depends
+    on it), and segment() must route to it."""
+    from deepie_spark.functions import wordseg
+
+    text = "今天天气很好we test 123"
+    words = wordseg.segment(text)
+    assert "".join(words) == text

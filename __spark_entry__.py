@@ -550,6 +550,52 @@ def q_word_alignment(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal image path, REAL stdlib codec: documents -> synthetic
+    (but genuinely decodable) PNG payloads -> decode_png -> 4x4 grid
+    luminance features (operators/multimodal.py + functions/codecs.py).
+    Features surface as md5 over the 0..255 integer grid (scalar-only
+    rows for the driver canonicalizer; round(x*255) is exact because
+    each grid cell is a uint8 pixel / 255)."""
+    _ensure(spark)
+    from deepie_spark.operators.multimodal import decode_features, synth_media
+
+    media = synth_media(spark, _docs(spark, sf_dir), kind="image")
+    feats = decode_features(media)
+    return feats.select(
+        "media_id",
+        "ok",
+        F.md5(
+            F.to_json(
+                F.transform("feature", lambda x: F.round(x * 255).cast("int"))
+            )
+        ).alias("feat_md5"),
+    )
+
+
+def q_media_audio(spark, sf_dir):
+    """Multimodal audio path, REAL stdlib codec: documents -> synthetic
+    decodable 16-bit WAV tones -> decode_wav -> 8-window RMS energy,
+    surfaced as md5 over round(x*1e6) ints."""
+    _ensure(spark)
+    from deepie_spark.operators.multimodal import decode_features, synth_media
+
+    media = synth_media(spark, _docs(spark, sf_dir), kind="audio")
+    feats = decode_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "ok",
+        F.md5(
+            F.to_json(
+                F.transform(
+                    "feature",
+                    lambda x: F.round(x.cast("double") * 1e6).cast("bigint"),
+                )
+            )
+        ).alias("energy_md5"),
+    )
+
+
 def q_etl_stl(spark, sf_dir):
     """ETL-STL cascade (subject pointer + per-label BIES CRF object
     decode, models/spo_net/etl_stl.py) on the synthetic pages —
@@ -880,7 +926,68 @@ def _expected_near_dup_lsh(sf_dir):
     )
 
 
+def _media_twin(sf_dir, kind):
+    """Python twin of q_media_features / q_media_audio: same synth
+    payloads, same stdlib codecs, same HALF_UP int scaling as Spark's
+    round()."""
+    import decimal
+    import hashlib
+    import json
+
+    import duckdb
+    import pyarrow as pa
+
+    from deepie_spark.functions import codecs
+    from deepie_spark.operators import multimodal as MM
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+
+    def half_up(x):
+        return int(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    rows = []
+    for doc_id, text in docs:
+        if kind == "image":
+            px = codecs.decode_png(MM.synth_png_payload(text))
+            feats = codecs.image_grid_features(px, grid=4)
+            ints = [half_up(float(v) * 255) for v in feats]
+            col = "feat_md5"
+        else:
+            _r, _n, samples = codecs.decode_wav(MM.synth_wav_payload(text))
+            feats = codecs.audio_energy_features(samples, n_windows=8)
+            ints = [half_up(float(v) * 1e6) for v in feats]
+            col = "energy_md5"
+        blob = json.dumps(ints, separators=(",", ":")).encode()
+        rows.append(
+            {"media_id": doc_id, "ok": True,
+             col: hashlib.md5(blob).hexdigest()}
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("media_id", pa.int64()), ("ok", pa.bool_()), (col, pa.string())]
+        ),
+    )
+
+
+def _expected_media_features(sf_dir):
+    return _media_twin(sf_dir, "image")
+
+
+def _expected_media_audio(sf_dir):
+    return _media_twin(sf_dir, "audio")
+
+
 _FIXTURE_BUILDERS = {
+    "media_features": _expected_media_features,
+    "media_audio": _expected_media_audio,
     "flagship_triples": _expected_flagship,
     "etl_stl_triples": _expected_etl_stl,
     "mentions_trie": _expected_mentions,
@@ -941,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_stl_triples": q_etl_stl,
         "mentions_trie": q_mentions_trie,
         "word_alignment": q_word_alignment,
+        "media_features": q_media_features,
+        "media_audio": q_media_audio,
         "rollup_pricing": q_rollup_pricing,
         "pivot_status": q_pivot_status,
         "json_props": q_json_props,
@@ -1013,6 +1122,8 @@ def oracle_sql() -> dict[str, str]:
         "attributes": fx("attributes"),
         "minhash_fast": fx("minhash_fast"),
         "word_alignment": fx("word_alignment"),
+        "media_features": fx("media_features"),
+        "media_audio": fx("media_audio"),
         "near_dup_lsh": fx("near_dup_lsh"),
         "lsh_pairs_fast": fx("lsh_pairs_fast"),
         "clean_text": """

@@ -550,6 +550,21 @@ def q_word_alignment(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Complete near-dup dedup decision: LSH candidates -> n-gram
+    Jaccard verification (candidates only) -> connected components ->
+    (doc_id, cluster_id, keep).  Hash-checked against a python twin
+    (same fast signatures, same band/cap pair rules, same gram sets,
+    union-find for the transitive closure)."""
+    _ensure(spark)
+    from deepie_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _docs(spark, sf_dir), n_hashes=8, shingle_k=5, n_bands=4,
+        max_bucket=256, verify_threshold=0.8, ngram_n=2,
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal image path, REAL stdlib codec: documents -> synthetic
     (but genuinely decodable) PNG payloads -> decode_png -> 4x4 grid
@@ -926,6 +941,78 @@ def _expected_near_dup_lsh(sf_dir):
     )
 
 
+def _expected_dedup_clusters(sf_dir):
+    """Python twin of the full dedup chain: fast signatures -> band
+    buckets (cap 256) -> candidate pairs -> 2-gram Jaccard >= 0.8 ->
+    union-find -> (doc_id, min-id cluster, keep)."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+
+    from deepie_spark.operators.dedup import minhash_fast_py
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    n_bands, cap = 4, 256
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, text in docs:
+        sig = minhash_fast_py(text, n_hashes=8, shingle_k=5)
+        rpb = len(sig) // n_bands
+        for b in range(n_bands):
+            h = hashlib.md5(
+                ",".join(str(x) for x in sig[b * rpb : (b + 1) * rpb]).encode()
+            ).hexdigest()
+            buckets.setdefault((b, h), []).append(int(doc_id))
+    pairs = set()
+    for ids in buckets.values():
+        if len(ids) > cap:
+            continue
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b2 in ids[i + 1 :]:
+                pairs.add((a, b2))
+
+    def grams(text: str) -> set[str]:
+        # exact twin of ngram_jaccard_pairs: split(lower, ' ') keeps
+        # empties; i in 1..max(size-1,1); slice(toks, i, 2) truncates
+        toks = (text or "").lower().split(" ")
+        upper = max(len(toks) - 1, 1)
+        return {" ".join(toks[i - 1 : i + 1]) for i in range(1, upper + 1)}
+
+    gmap = {int(d): grams(t) for d, t in docs}
+    parent = {int(d): int(d) for d, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ga, gb = gmap[a], gmap[b]
+        inter = len(ga & gb)
+        if inter and inter / (len(ga) + len(gb) - inter) >= 0.8:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    rows = []
+    for d, _ in docs:
+        c = find(int(d))
+        rows.append(
+            {"doc_id": int(d), "cluster_id": c, "keep": c == int(d)}
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("cluster_id", pa.int64()),
+             ("keep", pa.bool_())]
+        ),
+    )
+
+
 def _media_twin(sf_dir, kind):
     """Python twin of q_media_features / q_media_audio: same synth
     payloads, same stdlib codecs, same HALF_UP int scaling as Spark's
@@ -988,6 +1075,7 @@ def _expected_media_audio(sf_dir):
 _FIXTURE_BUILDERS = {
     "media_features": _expected_media_features,
     "media_audio": _expected_media_audio,
+    "dedup_clusters": _expected_dedup_clusters,
     "flagship_triples": _expected_flagship,
     "etl_stl_triples": _expected_etl_stl,
     "mentions_trie": _expected_mentions,
@@ -1050,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_alignment": q_word_alignment,
         "media_features": q_media_features,
         "media_audio": q_media_audio,
+        "dedup_clusters": q_dedup_clusters,
         "rollup_pricing": q_rollup_pricing,
         "pivot_status": q_pivot_status,
         "json_props": q_json_props,
@@ -1124,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "word_alignment": fx("word_alignment"),
         "media_features": fx("media_features"),
         "media_audio": fx("media_audio"),
+        "dedup_clusters": fx("dedup_clusters"),
         "near_dup_lsh": fx("near_dup_lsh"),
         "lsh_pairs_fast": fx("lsh_pairs_fast"),
         "clean_text": """

@@ -346,3 +346,55 @@ def simhash_dup_groups(sim: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.col("n") > 1)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 5,
+    n_bands: int = 4,
+    max_bucket: int = 256,
+    verify_threshold: float = 0.8,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Complete near-dup deduplication: candidate generation -> exact
+    verification -> duplicate GROUPS -> keeper selection.
+
+        LSH chain (``lsh_dedup_pairs``)            candidate pairs
+          -> n-gram Jaccard on candidates only      verified pairs
+          -> connected components (salted           duplicate clusters
+             large-star/small-star, canonicalize.py)
+          -> (doc_id, cluster_id, keep)             keep = min-id doc
+
+    This is the "which rows do I actually drop" operator a corpus
+    pipeline runs: LSH bounds the candidate set (linear in corpus),
+    Jaccard verification removes LSH false positives (it runs ONLY on
+    candidates — no all-pairs join anywhere), and CC turns pairwise
+    hits into groups so A~B, B~C dedups all three even when A~C was
+    never sampled by any band."""
+    from deepie_spark.operators.canonicalize import connected_components
+
+    pairs = lsh_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+        shingle_k=shingle_k, n_bands=n_bands, max_bucket=max_bucket,
+    )
+    verified = ngram_jaccard_pairs(
+        docs, text_col=text_col, id_col=id_col, n=ngram_n,
+        threshold=verify_threshold, candidates=pairs,
+    )
+    edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    cluster = F.coalesce("component", F.col(id_col))
+    return (
+        docs.select(id_col)
+        .join(
+            comp.withColumnRenamed("node", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            cluster.alias("cluster_id"),
+            (cluster == F.col(id_col)).alias("keep"),
+        )
+    )

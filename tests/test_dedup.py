@@ -147,3 +147,45 @@ def test_simhash_identical_same_bucket(docs):
     assert rows[0] == rows[1]
     groups = D.simhash_dup_groups(sim).collect()
     assert any(set(g["ids"]) >= {0, 1} for g in groups)
+
+
+def test_dedup_clusters_transitive_and_keepers(spark):
+    """A~B and B~C near-dups must land in ONE cluster (via CC) even if
+    A~C never shared a band; keeper = min doc_id; singletons keep."""
+    from deepie_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "tail one"),      # near-dup of 1
+            (3, base + "tail one more"),  # near-dup of 2 (and 1)
+            (10, "completely different content about spark engines " * 6),
+            (11, "completely different content about spark engines " * 6),
+            (20, "a unique little document"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(docs, verify_threshold=0.5).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2][0] == 1 and not got[2][1]
+    assert got[3][0] == 1 and not got[3][1]
+    assert got[10] == (10, True) and got[11] == (10, False)
+    assert got[20] == (20, True)
+
+
+def test_dedup_clusters_no_cartesian_plan(spark):
+    """The verification join must be candidate-restricted: no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""
+    from deepie_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} content") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    plan = dedup_clusters(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

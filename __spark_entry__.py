@@ -267,6 +267,39 @@ def q_ann_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN chain driver row: deterministic mini-kmeans training
+    (Lloyd steps as DataFrame jobs) -> centroid assignment -> probe
+    filter -> cosine top-k.  Run at FULL probe (n_probe = k cells) so
+    the result provably equals brute-force top-k and the brute DuckDB
+    oracle applies (the n_probe<k pruning path is pytest-verified to
+    equal brute at full probe and to prune scans otherwise,
+    test_similarity.py).  Ordering on rounded score_e6 then vec_id in
+    BOTH engines keeps the limit boundary tie-stable."""
+    from deepie_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    e = _emb(spark, sf_dir).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    cents = ivf_train_centroids(e, k=8, iters=2, vec_col="v")
+    assigned = ivf_assign(e, cents, vec_col="v")
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        assigned.where(F.col("centroid_id").isin(list(range(len(cents)))))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")) * 1e6)
+            .cast("bigint").alias("score_e6"),
+        )
+    )
+    return scored.orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(5)
+
+
 def q_near_dup_brute(spark, sf_dir):
     from deepie_spark.operators.similarity import cosine
 
@@ -1121,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "near_dup_brute": q_near_dup_brute,
         "near_dup_lsh": q_near_dup_lsh,
         "micro_prf_sets": q_micro_prf_sets,
@@ -1368,6 +1402,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, greatest(h_en, h_fr, h_es, h_de) AS best FROM h
             )
             SELECT doc_id, {lang_case} AS lang_pred FROM b
+        """,
+        "ann_ivf": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(round(1e6 * list_cosine_similarity(embedding::DOUBLE[], qv))
+                        AS BIGINT) AS score_e6
+            FROM embeddings CROSS JOIN q
+            ORDER BY score_e6 DESC, vec_id ASC LIMIT 5
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

@@ -31,6 +31,10 @@ def test_stream_pages_to_kg(spark, extractor, tmp_path):
     )
     q2.awaitTermination(120)
     assert lake.read("kg_triples").count() == n
+    # the streaming MERGE is the bucket-pruned one: layout recorded,
+    # internal _kb hidden from readers
+    assert (lake.layout("kg_triples") or {}).get("bucketed") is True
+    assert "_kb" not in lake.read("kg_triples").columns
 
 
 def test_windowed_event_counts_batch_semantics(spark):

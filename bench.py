@@ -154,7 +154,7 @@ def run_flagship(spark, sf_dir: str, replicate: int = 1,
 # measured number is engine throughput, not fixed cost
 SCALING_REPLICATE = int(os.environ.get("DEEPIE_SCALING_REPLICATE", "384"))
 SCALING_LEVELS = (8, 32)  # the north rule's N -> 4N pair
-SCALING_ROUNDS = int(os.environ.get("DEEPIE_SCALING_ROUNDS", "4"))
+SCALING_ROUNDS = int(os.environ.get("DEEPIE_SCALING_ROUNDS", "3"))
 # ~2 MB splits -> ~4-9 waves at 32 cores on the replicated corpus:
 # enough waves that one straggler task doesn't extend the whole job
 # (measured: 0.926 occupancy vs 0.909 at 1 wave)
@@ -317,7 +317,7 @@ def _run_level(cpus: int) -> dict:
     return json.loads(line)
 
 
-SCALING_TIME_BUDGET_S = int(os.environ.get("DEEPIE_SCALING_BUDGET", "1500"))
+SCALING_TIME_BUDGET_S = int(os.environ.get("DEEPIE_SCALING_BUDGET", "1100"))
 SCALING_TARGET = 0.8  # BASELINE.md north-rule gate
 
 

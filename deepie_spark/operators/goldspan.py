@@ -136,3 +136,88 @@ def gold_spans(
             yield pd.DataFrame(rows, columns=cols)
 
     return joined.mapInPandas(kernel, GOLD_SPANS_DDL)
+
+
+EXPANDED_DDL = (
+    "url string, variant int, subject_start int, subject_len int, "
+    "object_start int, object_len int, predicate_id int"
+)
+
+
+def expand_spoes_v3(
+    spoes: dict, complex_affiliate_ids: set
+) -> list[dict]:
+    """The v3 training-example duplication — verbatim port of
+    transformer_mpn_v3/data_loader.py:252-276 (train grows 171k->229k,
+    run/DuIE/实施步骤.md:25): besides the full example, emit one
+    single-subject example per subject, gated by a flag that turns on
+    at the first subject carrying a complex-affiliate predicate and —
+    the reference's quirk, kept verbatim — NEVER resets, so every
+    subject from that point on (in insertion order) duplicates, while
+    subjects before it do not."""
+    out = [spoes]
+    flag = False
+    for s, objs in spoes.items():
+        for _o1, _o2, p in objs:
+            if p in complex_affiliate_ids:
+                flag = True
+                continue
+        if not flag:
+            continue
+        out.append({s: spoes[s]})
+    return out
+
+
+def expand_examples_v3(
+    gold_spans_df: DataFrame, schema, order_col: str = "object_start"
+) -> DataFrame:
+    """Distributed v3 duplication over placed gold spans: per url,
+    rebuild the spoes dict (insertion order = ``order_col`` then
+    predicate_id, deterministic), run :func:`expand_spoes_v3`, and
+    explode each variant back to flat label rows tagged with a variant
+    id (0 = the full example).  One ``applyInPandas`` per url group —
+    the reference's per-example python loop, batch-shaped."""
+    affi = set(schema.complex_affiliate_ids)
+    pid_of = {p.label: p.pid for p in schema.predicates}
+
+    def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        pdf = pdf.sort_values([order_col, "predicate_id"], kind="stable")
+        spoes: dict = {}
+        for r in pdf.itertuples(index=False):
+            key = (int(r.subject_start), int(r.subject_len))
+            spoes.setdefault(key, []).append(
+                (int(r.object_start), int(r.object_len), int(r.predicate_id))
+            )
+        rows = []
+        for variant, sp in enumerate(expand_spoes_v3(spoes, affi)):
+            for (s1, slen), objs in sp.items():
+                for o1, olen, pid in objs:
+                    rows.append((url, variant, s1, slen, o1, olen, pid))
+        return pd.DataFrame(
+            rows,
+            columns=["url", "variant", "subject_start", "subject_len",
+                     "object_start", "object_len", "predicate_id"],
+        )
+
+    if "predicate_id" not in gold_spans_df.columns:
+        # pure-Catalyst label->pid lookup (map literal, no python UDF)
+        pid_map = F.create_map(
+            *[F.lit(x) for kv in pid_of.items() for x in kv]
+        )
+        with_pid = gold_spans_df.withColumn(
+            "predicate_id",
+            F.coalesce(
+                F.try_element_at(pid_map, F.col("predicate")), F.lit(-1)
+            ).cast("int"),
+        )
+    else:
+        with_pid = gold_spans_df
+    return (
+        with_pid.select(
+            "url", "subject_start", "subject_len",
+            "object_start", "object_len", "predicate_id",
+        )
+        .groupBy("url")
+        .applyInPandas(expand, EXPANDED_DDL)
+    )

@@ -83,3 +83,85 @@ def test_gold_spans_distributed(spark, extractor):
             assert not (s0 <= o0 < s1)
         else:
             assert not (o0 <= s0 < o1)
+
+
+def test_expand_spoes_v3_sticky_flag_quirk():
+    """Verbatim v3 semantics (transformer_mpn_v3/data_loader.py:252-276):
+    the duplication flag turns on at the first subject bearing a
+    complex-affiliate predicate and never resets — subjects BEFORE it
+    (insertion order) don't duplicate, the triggering subject and every
+    LATER subject (complex or not) each emit one single-subject
+    example."""
+    from deepie_spark.operators.goldspan import expand_spoes_v3
+
+    affi = {7, 9, 25, 26, 27}
+    spoes = {
+        (0, 2): [(5, 1, 0)],           # simple only — before flag: skipped
+        (3, 1): [(8, 2, 7)],           # affiliate pred 7 -> flag on, dups
+        (10, 2): [(14, 1, 10)],        # simple, AFTER flag -> dups too
+    }
+    out = expand_spoes_v3(spoes, affi)
+    assert out[0] is spoes
+    assert out[1:] == [{(3, 1): [(8, 2, 7)]}, {(10, 2): [(14, 1, 10)]}]
+
+    # no affiliate anywhere -> no duplication at all
+    assert expand_spoes_v3({(0, 2): [(5, 1, 0)]}, affi) == [
+        {(0, 2): [(5, 1, 0)]}
+    ]
+
+    # affiliate in the FIRST subject -> every subject duplicates
+    spoes2 = {(1, 1): [(4, 1, 25)], (6, 1): [(9, 1, 2)]}
+    assert expand_spoes_v3(spoes2, affi)[1:] == [
+        {(1, 1): [(4, 1, 25)]}, {(6, 1): [(9, 1, 2)]}
+    ]
+
+
+def test_expand_examples_v3_distributed(spark):
+    """Distributed expansion == the pure-python expansion built from the
+    same deterministically-ordered rows; variant 0 is the full
+    example."""
+    from deepie_spark.config.schema import SYNTH_SCHEMA
+    from deepie_spark.operators.goldspan import (
+        expand_examples_v3,
+        expand_spoes_v3,
+    )
+
+    rows = [
+        # url, subject, predicate, object_value, s1, slen, o1, olen
+        ("u1", "s", "founder", "o", 0, 2, 5, 1),
+        ("u1", "s", "release_date_in_area", "o", 3, 1, 8, 2),
+        ("u1", "s", "nationality", "o", 10, 2, 14, 1),
+        ("u2", "s", "author", "o", 0, 1, 3, 1),  # simple-only page
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, subject string, predicate string, object_value string, "
+        "subject_start int, subject_len int, object_start int, object_len int",
+    )
+    got = expand_examples_v3(df, SYNTH_SCHEMA).collect()
+
+    pid_of = {p.label: p.pid for p in SYNTH_SCHEMA.predicates}
+    expected = set()
+    for url in ("u1", "u2"):
+        page = sorted(
+            [r for r in rows if r[0] == url],
+            key=lambda r: (r[6], pid_of[r[2]]),
+        )
+        spoes = {}
+        for _u, _s, pred, _o, s1, slen, o1, olen in page:
+            spoes.setdefault((s1, slen), []).append((o1, olen, pid_of[pred]))
+        for v, sp in enumerate(
+            expand_spoes_v3(spoes, set(SYNTH_SCHEMA.complex_affiliate_ids))
+        ):
+            for (s1, slen), objs in sp.items():
+                for o1, olen, pid in objs:
+                    expected.add((url, v, s1, slen, o1, olen, pid))
+    assert {
+        (r["url"], r["variant"], r["subject_start"], r["subject_len"],
+         r["object_start"], r["object_len"], r["predicate_id"])
+        for r in got
+    } == expected
+    # growth: u1 has 3 triples + 2 duplicated subjects (flag from subj 2
+    # onward) = 5 label rows; u2 unchanged
+    assert len([r for r in got if r["url"] == "u1"]) == 5
+    assert len([r for r in got if r["url"] == "u2"]) == 1

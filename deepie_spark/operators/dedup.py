@@ -8,10 +8,12 @@ SimHash, n-gram Jaccard, and embedding near-dup (see similarity.py).
 Design rules:
   - everything is pure Catalyst column expressions (whole-stage
     codegen); no Python UDFs anywhere;
-  - MinHash signatures are computed with ``aggregate`` + ``zip_with``
-    over the shingle array — a single projection, NO explode and NO
-    shuffle for signature computation (at 10^12 docs the explode
-    (doc x shingle x seed) pattern is the classic scale killer);
+  - MinHash signatures: explode DISTINCT shingles -> map-side-combined
+    per-doc min aggregate; the shuffle carries docs x n_hashes longs
+    only (the classic scale killer is the (doc x shingle x SEED)
+    explosion — one md5 per distinct shingle avoids it).  See
+    ``minhash_signatures`` for why this beats the zero-shuffle
+    higher-order-function form in practice;
   - hashes are md5-prefix bigints, bit-identical between Spark
     (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
     (``('0x'||substr(md5(x),1,15))::BIGINT``) so every op is
@@ -78,23 +80,43 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, signature array<bigint>) — one projection, no shuffle.
+    """(id, signature array<bigint>).
 
     signature[i] = min over shingles of (a_i*md5_28(shingle)+b_i) mod
-    2^31.  One md5 per shingle (not per shingle x seed): at 10^12 docs
-    the hash count is the dominant CPU cost of dedup."""
-    sh = char_shingles(F.col(text_col), shingle_k)
+    2^31.  One md5 per DISTINCT shingle (not per shingle x seed): at
+    10^12 docs the hash count is the dominant CPU cost of dedup.
+
+    Physical shape: explode distinct shingles -> per-doc min aggregate.
+    The aggregation is map-side-combining — all shingles of a doc live
+    in its own row/partition, so partial aggregation collapses to one
+    row per doc per partition BEFORE the exchange; the shuffle carries
+    docs x n_hashes longs, never the shingle stream.  An earlier
+    version computed the signature as a single ``aggregate``/
+    ``zip_with`` higher-order expression ("no shuffle"), which
+    benchmarked WORSE twice over: HOF lambdas are interpreted (no
+    codegen), and any generator downstream (``posexplode(signature)``)
+    inlines the whole HOF expression and re-evaluates it per output
+    row — 9x recompute measured.  Values are bit-identical to that
+    version (and to the DuckDB oracle)."""
     params = minhash_params(n_hashes)
     mod = F.lit(2**31)
-    init = F.array_repeat(F.lit(2**31).cast("bigint"), n_hashes)
-
-    def step(acc, shingle):
-        base = minhash_base(shingle)
-        hs = F.array(*[(F.lit(a) * base + F.lit(b)) % mod for a, b in params])
-        return F.zip_with(acc, hs, lambda x, y: F.least(x, y))
-
-    sig = F.aggregate(sh, init, step)
-    return docs.select(F.col(id_col), sig.alias("signature"))
+    sh = F.array_distinct(char_shingles(F.col(text_col), shingle_k))
+    # explode_outer keeps null-text docs (null shingle array) as a
+    # single null-shingle row -> null mins -> null signature, matching
+    # the previous implementation's aggregate-over-null behavior
+    ex = docs.select(F.col(id_col), F.explode_outer(sh).alias("_sh"))
+    base = minhash_base(F.col("_sh"))
+    g = ex.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * base + F.lit(b)) % mod).alias(f"_h{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    sig = F.array(*[F.col(f"_h{i}") for i in range(n_hashes)])
+    return g.select(
+        F.col(id_col),
+        F.when(F.col("_h0").isNotNull(), sig).alias("signature"),
+    )
 
 
 def minhash_fast_py(text: str, n_hashes: int = 16, shingle_k: int = 5) -> list[int]:
@@ -133,9 +155,9 @@ def minhash_signatures_fast(
 ) -> DataFrame:
     """Arrow-batched numpy MinHash — the 100-TB fast path.
 
-    The expression-tree version (``minhash_signatures``) is exact and
-    DuckDB-oracle-checkable, but Spark evaluates higher-order-function
-    lambdas interpreted (no codegen), so per-shingle md5 dominates.
+    The relational version (``minhash_signatures``) is exact and
+    DuckDB-oracle-checkable, but pays one md5 expression per distinct
+    shingle in the JVM.
     This kernel vectorizes everything in numpy (``minhash_fast_py``,
     shared with the fixture oracle).  Signatures are a *different*
     (equally valid) hash family, so near-dup behavior matches but raw

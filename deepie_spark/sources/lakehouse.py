@@ -45,6 +45,22 @@ LINEAGE_PARTS_DDL = (
 )
 
 
+def _pa_schema(ddl: str):
+    import pyarrow as pa
+
+    m = {"string": pa.string(), "int": pa.int32(), "bigint": pa.int64(),
+         "double": pa.float64()}
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.strip().split(" ")
+        fields.append((name, m[typ]))
+    return pa.schema(fields)
+
+
+_LINEAGE_SCHEMA = _pa_schema(LINEAGE_DDL)
+_LINEAGE_PARTS_SCHEMA = _pa_schema(LINEAGE_PARTS_DDL)
+
+
 class Lakehouse:
     def __init__(self, root: str | Path, spark: SparkSession):
         self.root = Path(root)
@@ -94,6 +110,25 @@ class Lakehouse:
         if (self.layout(name) or {}).get("bucketed") and "_kb" in df.columns:
             df = df.drop("_kb")
         return df
+
+    def _append_lineage(self, dirname: str, schema, rows: list[tuple]) -> None:
+        """Lineage rows are driver-side METADATA (a handful of scalars
+        per stage commit), so they are written with pyarrow directly —
+        spinning up a Spark job to write a 1-row DataFrame cost ~2 jobs
+        per stage commit, pure scheduling overhead.  Unique filenames
+        keep the directory append-only; the schema matches the DDL the
+        Spark readers (``lineage()``/``lineage_parts()``) infer."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self.root / dirname
+        d.mkdir(parents=True, exist_ok=True)
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
+        table = pa.table(
+            {f.name: pa.array(list(c), type=f.type)
+             for f, c in zip(schema, cols)}
+        )
+        pq.write_table(table, d / f"part-{uuid.uuid4().hex}.parquet")
 
     def _commit(self, name: str, version: int, layout: dict | None = None) -> None:
         tmp = self._pointer(name).with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
@@ -158,19 +193,20 @@ class Lakehouse:
         fp = sum(r["fingerprint"] or 0 for r in part_rows) & (2**63 - 1)
         wall_ms = int((time.time() - t0) * 1000)
 
-        self.spark.createDataFrame(
-            [(run_id, name, v, total_rows, len(part_rows), fp, wall_ms, time.time())],
-            LINEAGE_DDL,
-        ).write.mode("append").parquet(str(self.root / "_lineage"))
+        self._append_lineage(
+            "_lineage", _LINEAGE_SCHEMA,
+            [(run_id, name, v, total_rows, len(part_rows), fp, wall_ms,
+              time.time())],
+        )
         if part_rows:
-            self.spark.createDataFrame(
+            self._append_lineage(
+                "_lineage_parts", _LINEAGE_PARTS_SCHEMA,
                 [
                     (run_id, name, v, int(r["partition_id"]), int(r["rows"]),
                      int(r["fingerprint"] or 0))
                     for r in part_rows
                 ],
-                LINEAGE_PARTS_DDL,
-            ).write.mode("append").parquet(str(self.root / "_lineage_parts"))
+            )
         self._commit(name, v)
         return v
 
@@ -349,10 +385,11 @@ class Lakehouse:
         os.replace(tmp_path, new_path)  # atomic: v=N appears fully-built
 
         wall_ms = int((time.time() - t0) * 1000)
-        self.spark.createDataFrame(
-            [(run_id, name, v, rewritten, len(touched), 0, wall_ms, time.time())],
-            LINEAGE_DDL,
-        ).write.mode("append").parquet(str(self.root / "_lineage"))
+        self._append_lineage(
+            "_lineage", _LINEAGE_SCHEMA,
+            [(run_id, name, v, rewritten, len(touched), 0, wall_ms,
+              time.time())],
+        )
         self._commit(
             name, v,
             layout={"bucketed": True, "n_buckets": n_buckets, "keys": list(keys)},

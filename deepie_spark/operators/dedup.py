@@ -201,23 +201,32 @@ def lsh_bands(
     signatures: DataFrame, n_bands: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
     """Signature -> (id, band_id, band_hash).  Docs agreeing on any full
-    band land in the same bucket."""
-    n_hashes_col = F.size("signature")
-    rows_per_band = (n_hashes_col / n_bands).cast("int")
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    ",", F.slice("signature", b * rows_per_band + 1, rows_per_band)
-                )
-            ).alias("band_hash"),
-        ),
+    band land in the same bucket.
+
+    The band hash is computed AFTER the band-id explode (one md5 per
+    output row).  Exploding a ``transform``-built array of hashes
+    instead makes the generator re-evaluate the whole n_bands-element
+    expression per output row — n_bands x the md5 work (the same
+    generator-inlining pathology measured 9x on the MinHash signature,
+    see ``minhash_signatures``)."""
+    rows_per_band = (F.size("signature") / n_bands).cast("int")
+    ex = signatures.select(
+        F.col(id_col),
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
     )
-    return (
-        signatures.select(F.col(id_col), F.explode(bands).alias("b"))
-        .select(id_col, F.col("b.band_id"), F.col("b.band_hash"))
+    return ex.select(
+        id_col,
+        "band_id",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.slice(
+                    "signature", F.col("band_id") * rows_per_band + 1,
+                    rows_per_band,
+                ),
+            )
+        ).alias("band_hash"),
     )
 
 

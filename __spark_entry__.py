@@ -321,7 +321,7 @@ def q_near_dup_lsh(spark, sf_dir):
     )
     dim = len(e.select("embedding").first()["embedding"])
     buckets = lsh_buckets(e, dim=dim, n_planes=8)
-    out = lsh_ann_pairs(buckets, threshold=0.35)
+    out = lsh_ann_pairs(buckets, threshold=0.35, max_bucket=4096)
     return out.select(
         "a", "b", F.round(F.col("score") * 1e6).cast("bigint").alias("score_e6")
     )
@@ -951,17 +951,22 @@ def _expected_near_dup_lsh(sf_dir):
         buckets.setdefault(sig, []).append(vid)
     rows = []
     for ids in buckets.values():
+        if len(ids) > 4096:  # mirror q_near_dup_lsh's max_bucket cap
+            continue
         ids.sort()
         for i, a in enumerate(ids):
             for b in ids[i + 1 :]:
                 s = cos_py(vecs[a], vecs[b])
                 if s >= 0.35:
-                    # Spark round() is HALF_UP on the double; python
-                    # round() is banker's — use decimal to match
+                    # Spark round() is HALF_UP over BigDecimal.valueOf
+                    # (shortest decimal repr of the double) — python
+                    # round() is banker's and Decimal(float) is the
+                    # exact binary expansion; Decimal(repr(x)) matches
+                    # the JVM conversion exactly.
                     import decimal
 
                     e6 = int(
-                        decimal.Decimal(s * 1e6).quantize(
+                        decimal.Decimal(repr(s * 1e6)).quantize(
                             decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
                         )
                     )
@@ -1066,8 +1071,14 @@ def _media_twin(sf_dir, kind):
     ).fetchall()
 
     def half_up(x):
+        # Decimal(repr(x)) mirrors the JVM: Spark's round() on doubles
+        # goes through BigDecimal.valueOf == Double.toString (shortest
+        # decimal repr), NOT the exact binary expansion Decimal(float)
+        # would use.  A value whose shortest repr lands on x.5 while
+        # its binary value sits just below would otherwise round
+        # differently and flake the hash check.
         return int(
-            decimal.Decimal(x).quantize(
+            decimal.Decimal(repr(float(x))).quantize(
                 decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
             )
         )

@@ -308,10 +308,27 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Word n-gram Jaccard similarity pairs >= threshold.
 
-    Relational plan: explode distinct n-grams, self-join on the n-gram
-    (or restrict to LSH ``candidates``), count intersections, compute
-    |A|+|B|-inter as union.  The n-gram join is the shuffle; at scale
-    feed LSH candidates instead of the full self-join."""
+    Two physical plans, picked by whether a candidate set is given:
+
+    **With ``candidates`` (the 100-TB verify path)** — pair-local: join
+    the candidate pairs to the two docs' distinct-gram ARRAYS (two
+    hash joins on doc id, linear in |candidates|) and compute
+    ``size(array_intersect(ga, gb))`` per pair.  No gram-level
+    self-join exists anywhere in this plan, so a hot n-gram ("of the"
+    in every document) costs nothing: work is O(|candidates| x
+    avg_grams), never O(docs-sharing-a-gram ^ 2).  An earlier version
+    built the full gram self-join first and only then semi-joined the
+    candidates — Catalyst can push the semi join below the aggregate
+    but NOT below the self-join (the condition references both sides),
+    so one stop-word bigram still went quadratic over the corpus.
+    Note: with threshold == 0 this path emits candidate pairs with
+    jaccard 0 (no shared gram), which the self-join path cannot
+    produce; every real threshold (> 0) makes the two plans identical.
+
+    **Without ``candidates``** — the classic relational form: explode
+    distinct n-grams, self-join on the gram, count intersections.
+    Only safe when the corpus is small or grams are near-unique; at
+    scale always feed LSH candidates."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     grams = F.array_distinct(
         F.transform(
@@ -320,6 +337,32 @@ def ngram_jaccard_pairs(
         )
     )
     g = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
+
+    if candidates is not None:
+        ga = g.select(F.col("id").alias("a"), F.col("grams").alias("_ga"))
+        gb = g.select(F.col("id").alias("b"), F.col("grams").alias("_gb"))
+        return (
+            candidates.select("a", "b")
+            .join(ga, "a")
+            .join(gb, "b")
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("_ga", "_gb")).alias("_inter"),
+                F.size("_ga").alias("_sza"),
+                F.size("_gb").alias("_szb"),
+            )
+            .select(
+                "a",
+                "b",
+                (
+                    F.col("_inter")
+                    / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+
     sizes = g.select("id", F.size("grams").alias("sz"))
     ex = g.select("id", F.explode("grams").alias("gram"))
     pairs = (
@@ -329,8 +372,6 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if candidates is not None:
-        pairs = pairs.join(candidates, ["a", "b"], "left_semi")
     sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
     return (
@@ -401,10 +442,17 @@ def dedup_clusters(
 
     This is the "which rows do I actually drop" operator a corpus
     pipeline runs: LSH bounds the candidate set (linear in corpus),
-    Jaccard verification removes LSH false positives (it runs ONLY on
-    candidates — no all-pairs join anywhere), and CC turns pairwise
-    hits into groups so A~B, B~C dedups all three even when A~C was
-    never sampled by any band."""
+    Jaccard verification removes LSH false positives, and CC turns
+    pairwise hits into groups so A~B, B~C dedups all three even when
+    A~C was never sampled by any band.
+
+    Scale shape of the verify stage: pair-local — candidates join the
+    two docs' distinct-gram arrays (two doc-id hash joins) and the
+    intersection is ``array_intersect`` per pair, O(|candidates| x
+    avg_grams_per_doc).  There is no gram-level self-join anywhere in
+    this pipeline, so a stop-word bigram shared by the whole corpus
+    cannot create a quadratic join group (see ``ngram_jaccard_pairs``
+    for the plan-level argument and the adversarial hot-gram test)."""
     from deepie_spark.operators.canonicalize import connected_components
 
     pairs = lsh_dedup_pairs(

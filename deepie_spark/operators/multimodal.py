@@ -21,6 +21,9 @@ shape) identical for stdlib, Pillow, and fake decoders.
 from __future__ import annotations
 
 import hashlib
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -138,8 +141,21 @@ def _decode_one(
         if fake:
             return _fake_decode(payload, dim).tolist()
         return None
-    except (ValueError, codecs.UnsupportedMediaError, EOFError):
-        return None  # corrupt/unsupported payload -> ok=False row
+    except (
+        ValueError,
+        codecs.UnsupportedMediaError,
+        EOFError,
+        OSError,
+        zlib.error,
+        struct.error,
+        wave.Error,
+    ):
+        # corrupt/unsupported payload -> ok=False row.  OSError covers
+        # Pillow's UnidentifiedImageError (an OSError subclass);
+        # zlib/struct/wave errors come from truncated or garbage PNG/WAV
+        # byte streams.  A corrupt payload must degrade to ok=False,
+        # never kill the Spark task.
+        return None
 
 
 def decode_features(

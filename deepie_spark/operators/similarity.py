@@ -217,11 +217,33 @@ def lsh_ann_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs above a cosine threshold, restricted to
     same-bucket candidates: the per-bucket self-join replaces the
     quadratic crossJoin (the 100-TB plan; recall tunable via n_planes
-    and multi-probe)."""
+    and multi-probe).
+
+    ``max_bucket`` caps degenerate buckets, mirroring
+    ``dedup.lsh_candidate_pairs``: with few planes (256 buckets at 8
+    planes) a near-dup-heavy corpus piles into a handful of buckets
+    and the self-join group goes quadratic.  Bucket populations are
+    counted first (one aggregation on the join key) and oversized
+    buckets are dropped BEFORE the self-join, keeping pair generation
+    linear in corpus size.  Recall tradeoff: every pair whose only
+    shared bucket was capped is lost — raise ``max_bucket``, add
+    planes (smaller buckets), or route capped buckets through exact
+    dedup when recall matters; the adversarial all-one-bucket test
+    pins the bounded-output behavior."""
+    if max_bucket is not None:
+        sizes = buckets.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        buckets = (
+            buckets.join(sizes, "bucket")
+            .where(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     a = buckets.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
     )

@@ -189,3 +189,57 @@ def test_dedup_clusters_no_cartesian_plan(spark):
     plan = dedup_clusters(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_candidates_plan_is_pair_local(spark):
+    """With a candidate set, the verify plan must contain NO gram-level
+    self-join and NO explode at all: intersections are computed
+    pair-locally via array_intersect after two doc-id joins.  (The old
+    plan exploded grams and self-joined on the gram column, so one hot
+    bigram shared corpus-wide still went quadratic — Catalyst pushes a
+    left-semi below the aggregate but not below a join whose condition
+    references both sides.)"""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} of the tail{i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (3, 4)], "a bigint, b bigint")
+    df = D.ngram_jaccard_pairs(docs, n=2, threshold=0.1, candidates=cands)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode anywhere
+    assert "array_intersect" in plan
+    # exactly the two doc-id hash joins, nothing keyed on a gram
+    assert plan.count("Join") <= 2
+
+
+def test_jaccard_hot_gram_stays_linear_in_candidates(spark):
+    """Adversarial fixture: EVERY doc shares the stop-word bigram
+    'of the'.  The gram self-join form would build ~n^2/2 intermediate
+    pairs (12.5M at n=5000) before any candidate restriction; the
+    pair-local form touches only |candidates| rows.  Values must equal
+    the python set-Jaccard twin exactly."""
+    n = 5000
+    docs = spark.createDataFrame(
+        [(i, f"head{i} of the tail{i} more{i}") for i in range(n)],
+        "doc_id bigint, text string",
+    )
+    cands = spark.createDataFrame(
+        [(0, 1), (10, 4000), (123, 4567)], "a bigint, b bigint"
+    )
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, n=2, threshold=0.01, candidates=cands
+        ).collect()
+    }
+
+    def grams(t, k=2):
+        ws = t.lower().split(" ")
+        return set(" ".join(ws[i : i + k]) for i in range(max(len(ws) - k + 1, 1)))
+
+    for a, b in [(0, 1), (10, 4000), (123, 4567)]:
+        ga = grams(f"head{a} of the tail{a} more{a}")
+        gb = grams(f"head{b} of the tail{b} more{b}")
+        want = len(ga & gb) / len(ga | gb)
+        assert abs(got[(a, b)] - want) < 1e-12
+    assert len(got) == 3  # nothing outside the candidate set

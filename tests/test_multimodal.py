@@ -91,6 +91,28 @@ def test_corrupt_png_yields_ok_false(spark):
     assert not r["ok"] and r["feature"] is None
 
 
+def test_truncated_payloads_yield_ok_false(spark, images, audio):
+    """Truncated mid-stream payloads raise zlib.error / struct.error /
+    wave.Error / EOFError inside the stdlib codecs — all must degrade
+    to ok=False rows, never kill the task (ADVICE round 3: only
+    ValueError/UnsupportedMediaError/EOFError were handled)."""
+    png = bytes(images.first()["payload"])
+    wav = bytes(audio.first()["payload"])
+    rows = [
+        # valid signature+IHDR, IDAT cut mid-zlib-stream
+        (1, "image", bytearray(png[: len(png) * 2 // 3]), ("image/png", 2, 2, 0)),
+        # WAV header cut short
+        (2, "audio", bytearray(wav[:16]), ("audio/wav", 0, 0, 10)),
+        # random garbage under each mime
+        (3, "image", bytearray(b"\x00" * 40), ("image/png", 2, 2, 0)),
+        (4, "audio", bytearray(b"\x00" * 40), ("audio/wav", 0, 0, 10)),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_DDL)
+    got = MM.decode_features(media).collect()
+    assert len(got) == 4
+    assert all(not r["ok"] and r["feature"] is None for r in got)
+
+
 def test_image_thumbnails_roundtrip(images):
     rows = MM.image_thumbnails(images, 4, 4).collect()
     assert rows

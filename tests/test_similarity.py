@@ -72,6 +72,26 @@ def test_lsh_ann_recall_on_planted_near_dups(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_lsh_ann_hot_bucket_cap_bounds_pairs(spark):
+    """Adversarial fixture: hundreds of identical vectors all land in
+    ONE hyperplane bucket — uncapped, that bucket's self-join alone is
+    ~n^2/2 pairs (the same quadratic blow-up lsh_candidate_pairs caps
+    on the MinHash side).  With max_bucket the degenerate bucket is
+    dropped BEFORE the join and only the planted pair in a healthy
+    bucket survives."""
+    hot = [1.0] + [0.0] * 15
+    cold = [-1.0] + [0.0] * 15  # opposite signs -> different bucket
+    rows = [(i, hot) for i in range(500)]
+    rows += [(9001, cold), (9002, [x * 0.99 for x in cold])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    buckets = S.lsh_buckets(df, dim=16, n_planes=8)
+    capped = S.lsh_ann_pairs(buckets, threshold=0.9, max_bucket=50).collect()
+    assert {(r["a"], r["b"]) for r in capped} == {(9001, 9002)}
+    # sanity: uncapped the hot bucket would emit ~124750 pairs
+    uncapped = S.lsh_ann_pairs(buckets, threshold=0.9).count()
+    assert uncapped == 500 * 499 // 2 + 1
+
+
 def test_ivf_recall_vs_brute_force(spark, emb, emb_np):
     from deepie_spark.operators.similarity import (
         cosine_topk,

@@ -67,17 +67,49 @@ def _pages_count(sf_dir: str) -> int:
     return 12000
 
 
+_EXTRACTOR = None
+
+
+def _extractor():
+    """Process-memoized PageExtractor: the trie + the >=10 MB encoder
+    artifact are deterministic functions of the fixed synth world, and
+    building the tensor set costs ~1 s of driver RNG — pay it once, not
+    once per query call (several queries and fixture builders share
+    it)."""
+    global _EXTRACTOR
+    if _EXTRACTOR is None:
+        from deepie_spark.config.schema import SYNTH_SCHEMA
+        from deepie_spark.operators.extract import PageExtractor
+        from deepie_spark.sources.synth import gen_world
+
+        _EXTRACTOR = PageExtractor(SYNTH_SCHEMA, gen_world().alias_rows)
+    return _EXTRACTOR
+
+
+_EXTRACTOR_BC: dict[str, object] = {}
+
+
+def _extractor_bc(spark: SparkSession):
+    """One broadcast of the 11.5 MB artifact per application — a
+    production job broadcasts its model once, not once per action
+    (re-broadcasting forces every python worker to re-fetch and
+    re-unpickle the tensors on the next job)."""
+    key = spark.sparkContext.applicationId
+    bc = _EXTRACTOR_BC.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(_extractor())
+        _EXTRACTOR_BC[key] = bc
+    return bc
+
+
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pages -> fused cascade extraction -> flat triples."""
     _ensure(spark)
-    from deepie_spark.config.schema import SYNTH_SCHEMA
-    from deepie_spark.operators.extract import PageExtractor, extract_triples_fused
-    from deepie_spark.sources.synth import corpus_dataframes, gen_world
+    from deepie_spark.operators.extract import extract_triples_fused
+    from deepie_spark.sources.synth import corpus_dataframes
 
-    world = gen_world()
     pages_df, _gold, _alias = corpus_dataframes(spark, _pages_count(sf_dir))
-    bc = spark.sparkContext.broadcast(PageExtractor(SYNTH_SCHEMA, world.alias_rows))
-    t = extract_triples_fused(pages_df, bc)
+    t = extract_triples_fused(pages_df, _extractor_bc(spark))
     return t.select(
         "url", "subject", "subject_type", "predicate",
         F.col("object")["@value"].alias("object_value"),
@@ -659,20 +691,33 @@ def q_etl_stl(spark, sf_dir):
     return extract_stl_triples(pages_df, bc)
 
 
+def q_encoder_grids(spark, sf_dir):
+    """Weight-artifact verification: per-page md5 over the transformer
+    gate grids (subject + all per-subject object grids, p*1e6 ints)
+    plus the worker-side fingerprint of every broadcast tensor.
+    Hash-checked against the python twin — a single corrupted or
+    reordered tensor in the >=10 MB broadcast artifact changes every
+    gate value and fails this row (functions/encoder.py)."""
+    _ensure(spark)
+    from deepie_spark.operators.extract import encoder_grid_hashes
+    from deepie_spark.sources.synth import corpus_dataframes
+
+    pages_df, _, _ = corpus_dataframes(spark, _pages_count(sf_dir))
+    return encoder_grid_hashes(pages_df, _extractor_bc(spark))
+
+
 def q_mentions_trie(spark, sf_dir):
     """The REAL mention operator (broadcast-trie longest-nonoverlap
     matching inside the token stage) — hash-checked against the
     materialized single-row trie oracle.  `mention_candidates` remains
     as the cross-engine substring-arithmetic twin."""
     _ensure(spark)
-    from deepie_spark.config.schema import SYNTH_SCHEMA
-    from deepie_spark.operators.extract import PageExtractor, stage_tokens
+    from deepie_spark.operators.extract import stage_tokens
     from deepie_spark.operators.linking import detect_mentions
-    from deepie_spark.sources.synth import corpus_dataframes, gen_world
+    from deepie_spark.sources.synth import corpus_dataframes
 
-    world = gen_world()
     pages_df, _, _ = corpus_dataframes(spark, _pages_count(sf_dir))
-    bc = spark.sparkContext.broadcast(PageExtractor(SYNTH_SCHEMA, world.alias_rows))
+    bc = _extractor_bc(spark)
     tokens = stage_tokens(pages_df.select("url", "lang", "text"), bc)
     return detect_mentions(tokens, bc)
 
@@ -699,12 +744,9 @@ def _fixture_sf_dir() -> str:
 def _expected_flagship(sf_dir):
     import pyarrow as pa
 
-    from deepie_spark.config.schema import SYNTH_SCHEMA
-    from deepie_spark.operators.extract import PageExtractor
-    from deepie_spark.sources.synth import gen_corpus, gen_world
+    from deepie_spark.sources.synth import gen_corpus
 
-    world = gen_world()
-    ex = PageExtractor(SYNTH_SCHEMA, world.alias_rows)
+    ex = _extractor()
     pages, _, _ = gen_corpus(_pages_count(sf_dir))
     rows = []
     for p in pages:
@@ -760,13 +802,10 @@ def _expected_etl_stl(sf_dir):
 def _expected_mentions(sf_dir):
     import pyarrow as pa
 
-    from deepie_spark.config.schema import SYNTH_SCHEMA
-    from deepie_spark.operators.extract import PageExtractor
     from deepie_spark.operators.linking import page_mentions_py
-    from deepie_spark.sources.synth import gen_corpus, gen_world
+    from deepie_spark.sources.synth import gen_corpus
 
-    world = gen_world()
-    ex = PageExtractor(SYNTH_SCHEMA, world.alias_rows)
+    ex = _extractor()
     pages, _, _ = gen_corpus(_pages_count(sf_dir))
     cols = ["url", "mention", "tok_start", "tok_end", "canonical_id",
             "entity_type", "weight"]
@@ -783,6 +822,34 @@ def _expected_mentions(sf_dir):
                 ("tok_start", pa.int32()), ("tok_end", pa.int32()),
                 ("canonical_id", pa.int64()), ("entity_type", pa.string()),
                 ("weight", pa.float64()),
+            ]
+        ),
+    )
+
+
+def _expected_encoder_grids(sf_dir):
+    import pyarrow as pa
+
+    from deepie_spark.operators.extract import encoder_grid_py
+    from deepie_spark.sources.synth import gen_corpus
+
+    ex = _extractor()
+    w = ex.encoder.weights_fingerprint()
+    pages, _, _ = gen_corpus(_pages_count(sf_dir))
+    rows = []
+    for p in pages:
+        nt, gm, pm = encoder_grid_py(ex, p["text"])
+        rows.append(
+            {"url": p["url"], "n_tokens": nt, "w_md5": w,
+             "grid_md5": gm, "po_md5": pm}
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()), ("n_tokens", pa.int32()),
+                ("w_md5", pa.string()), ("grid_md5", pa.string()),
+                ("po_md5", pa.string()),
             ]
         ),
     )
@@ -1123,6 +1190,7 @@ _FIXTURE_BUILDERS = {
     "flagship_triples": _expected_flagship,
     "etl_stl_triples": _expected_etl_stl,
     "mentions_trie": _expected_mentions,
+    "encoder_grids": _expected_encoder_grids,
     "attributes": _expected_attributes,
     "minhash_fast": _expected_minhash_fast,
     "word_alignment": _expected_word_alignment,
@@ -1180,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attributes": q_attributes,
         "etl_stl_triples": q_etl_stl,
         "mentions_trie": q_mentions_trie,
+        "encoder_grids": q_encoder_grids,
         "word_alignment": q_word_alignment,
         "media_features": q_media_features,
         "media_audio": q_media_audio,
@@ -1253,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_triples": fx("flagship_triples"),
         "etl_stl_triples": fx("etl_stl_triples"),
         "mentions_trie": fx("mentions_trie"),
+        "encoder_grids": fx("encoder_grids"),
         "attributes": fx("attributes"),
         "minhash_fast": fx("minhash_fast"),
         "word_alignment": fx("word_alignment"),

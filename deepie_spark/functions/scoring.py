@@ -31,6 +31,8 @@ Belief rules (the "weights"):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 from deepie_spark.config.schema import SpoSchema
@@ -42,6 +44,19 @@ from deepie_spark.functions.trie import AliasTrie
 
 PROB = 0.95
 SENTENCE_ENDS = {".", "。", "!", "！", "?", "？"}
+
+
+class PageScan(NamedTuple):
+    """Per-page scan state handed from ``scan`` to the grid emitters.
+
+    ``hits``: (s1, s2, o1, o2, pid) in unwrapped token indices.
+    ``hidden``: encoder states [n_wrapped, d_model] when the model has
+    a transformer encoder (NeuralTriggerModel), else None.  Carrying
+    the states here means one forward pass per page even when the
+    staged path asks for many per-subject object grids."""
+
+    hits: list[tuple[int, int, int, int, int]]
+    hidden: np.ndarray | None = None
 
 
 def tokenize_phrase(phrase: str, tokenizer: WordPieceTokenizer) -> tuple[str, ...]:
@@ -119,8 +134,9 @@ class TriggerModel:
 
     def scan(
         self, text: str, tokens: list[str], starts: list[int], ends: list[int]
-    ) -> list[tuple[int, int, int, int, int]]:
-        """(s1, s2, o1, o2, pid) in unwrapped token indices (inclusive)."""
+    ) -> PageScan:
+        """PageScan whose hits are (s1, s2, o1, o2, pid) in unwrapped
+        token indices (inclusive)."""
         spans = self.propose_spans(text, tokens, starts, ends)
         by_end: dict[int, tuple[int, int]] = {}
         by_start: dict[int, tuple[int, int]] = {}
@@ -157,25 +173,74 @@ class TriggerModel:
             out.append((sub[0], sub[1], obj[0], obj[1], pid))
             if pid in self.schema.complex_primary_ids:
                 last_primary_obj[pid] = obj
-        return out
+        return PageScan(out)
 
     # -- grid emission (reference ERENet output shapes) -------------------
 
-    def subject_grid(self, scan_result, n_wrapped: int) -> np.ndarray:
+    def subject_grid(self, page: PageScan, n_wrapped: int) -> np.ndarray:
         """[L,2] start/end probabilities over [CLS]+tokens+[SEP]."""
         g = np.zeros((n_wrapped, 2), dtype=np.float32)
-        for s1, s2, _o1, _o2, _p in scan_result:
+        for s1, s2, _o1, _o2, _p in page.hits:
             g[s1 + 1, 0] = PROB
             g[s2 + 1, 1] = PROB
         return g
 
-    def po_grid(self, scan_result, subject: tuple[int, int], n_wrapped: int) -> np.ndarray:
+    def po_grid(self, page: PageScan, subject: tuple[int, int], n_wrapped: int) -> np.ndarray:
         """[L,P,2] object grid conditioned on one subject span (wrapped
         indices, as the cascade's stage-2 sees it)."""
         g = np.zeros((n_wrapped, self.num_labels, 2), dtype=np.float32)
         s1, s2 = subject[0] - 1, subject[1] - 1  # unwrap
-        for t1, t2, o1, o2, p in scan_result:
+        for t1, t2, o1, o2, p in page.hits:
             if (t1, t2) == (s1, s2):
                 g[o1 + 1, p, 0] = PROB
                 g[o2 + 1, p, 1] = PROB
+        return g
+
+
+class NeuralTriggerModel(TriggerModel):
+    """TriggerModel whose grid VALUES come from a real transformer
+    forward pass (functions/encoder.py) instead of the constant PROB.
+
+    Span positions still come from the deterministic trigger scan (the
+    planted-gold P/R contract); at each believed position the emitted
+    probability is ``GATE_LO + GATE_SPAN * sigmoid(h . w)`` over the
+    encoder's hidden state — strictly inside (0.70, 0.95), so decode
+    (thresholds 0.6/0.5, decode.py:19-22) produces byte-identical
+    triples, while the grid values depend on the full >=10 MB weight
+    artifact shipped through the broadcast.  One forward pass per page:
+    ``scan`` computes the hidden states once and PageScan carries them
+    to every grid request (the staged path's per-subject po grids reuse
+    them for free)."""
+
+    def __init__(self, schema, tokenizer, trie, encoder):
+        super().__init__(schema, tokenizer, trie)
+        self.encoder = encoder
+
+    def scan(self, text, tokens, starts, ends) -> PageScan:
+        base = super().scan(text, tokens, starts, ends)
+        if not base.hits:
+            return base  # no believed span -> grids are all-zero anyway
+        hidden = self.encoder.forward(["[CLS]", *tokens, "[SEP]"])
+        return PageScan(base.hits, hidden)
+
+    def subject_grid(self, page: PageScan, n_wrapped: int) -> np.ndarray:
+        g = np.zeros((n_wrapped, 2), dtype=np.float32)
+        if not page.hits:
+            return g
+        gates = self.encoder.subject_gates(page.hidden)
+        for s1, s2, _o1, _o2, _p in page.hits:
+            g[s1 + 1, 0] = gates[s1 + 1, 0]
+            g[s2 + 1, 1] = gates[s2 + 1, 1]
+        return g
+
+    def po_grid(self, page: PageScan, subject: tuple[int, int], n_wrapped: int) -> np.ndarray:
+        g = np.zeros((n_wrapped, self.num_labels, 2), dtype=np.float32)
+        if not page.hits:
+            return g
+        gates = self.encoder.object_gates(page.hidden, subject)
+        s1, s2 = subject[0] - 1, subject[1] - 1  # unwrap
+        for t1, t2, o1, o2, p in page.hits:
+            if (t1, t2) == (s1, s2):
+                g[o1 + 1, p, 0] = gates[o1 + 1, p, 0]
+                g[o2 + 1, p, 1] = gates[o2 + 1, p, 1]
         return g

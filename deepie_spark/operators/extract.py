@@ -54,12 +54,19 @@ PO_DDL = (
 
 
 class PageExtractor:
-    """Driver-built, picklable bundle of tokenizer + alias trie + scorer.
+    """Driver-built, picklable bundle of tokenizer + alias trie + scorer
+    + (by default) the >=10 MB transformer weight artifact.
 
     Broadcast once per job; pandas-UDF workers deserialize it once per
     python worker (module-level singleton pattern, mirroring the
-    reference's global tokenizer at data_loader_v2.py:15).
-    """
+    reference's global tokenizer at data_loader_v2.py:15).  With
+    ``with_encoder=True`` (default) the scorer is NeuralTriggerModel:
+    grid probabilities come from a real seeded numpy transformer
+    (functions/encoder.py), and the pickled broadcast carries its full
+    tensor set — exercising the same weight-distribution path a trained
+    BERT checkpoint would take (multi_pointer_net.py:16-161).
+    ``with_encoder=False`` keeps the constant-PROB TriggerModel (same
+    decoded triples, lighter artifact) for tests that want it."""
 
     def __init__(
         self,
@@ -67,12 +74,25 @@ class PageExtractor:
         alias_rows: list[dict],
         vocab: dict[str, int] | None = None,
         max_seq_length: int = 256,
+        with_encoder: bool = True,
     ):
         self.schema = schema
         self.max_seq_length = max_seq_length
         self.tokenizer = WordPieceTokenizer(vocab or load_vocab())
         self.trie = build_alias_trie(alias_rows, self._alias_tokens)
-        self.model = TriggerModel(schema, self.tokenizer, self.trie)
+        if with_encoder:
+            from deepie_spark.functions.encoder import TinyTransformerEncoder
+            from deepie_spark.functions.scoring import NeuralTriggerModel
+
+            self.encoder = TinyTransformerEncoder(
+                self.tokenizer.vocab, num_labels=schema.num_labels
+            )
+            self.model = NeuralTriggerModel(
+                schema, self.tokenizer, self.trie, self.encoder
+            )
+        else:
+            self.encoder = None
+            self.model = TriggerModel(schema, self.tokenizer, self.trie)
 
     def _alias_tokens(self, alias: str) -> list[str]:
         toks, _s, _e = tokenize_with_offsets(
@@ -292,3 +312,57 @@ def extract_triples_staged(pages_df, extractor_bc):
     subjects = stage_subjects(tokens, extractor_bc)
     po = stage_po(subjects, extractor_bc)
     return stage_triples(po, extractor_bc)
+
+
+# ---- encoder grid verification ------------------------------------------------
+
+GRIDS_DDL = "url string, n_tokens int, w_md5 string, grid_md5 string, po_md5 string"
+
+
+def encoder_grid_py(ex: PageExtractor, text: str) -> tuple[int, str, str]:
+    """Single-row twin for the grid-value check: (n_tokens, md5 of the
+    subject grid, md5 of all per-subject object grids) with every
+    probability scaled to round(p*1e6) ints.  Shared verbatim by the
+    distributed kernel and the driver-side fixture builder, so the
+    hash compare verifies the broadcast weight artifact end-to-end:
+    any corrupted/reordered tensor in shipping changes every gate
+    value (functions/encoder.py) and fails the match."""
+    import hashlib
+    import json
+
+    context, tokens, starts, ends = ex.tokenize_page(text)
+    page = ex.model.scan(context, tokens, starts, ends)
+    n = len(tokens) + 2
+    sub = ex.model.subject_grid(page, n)
+    ints = [int(round(float(x) * 1e6)) for x in sub.reshape(-1)]
+    sub_md5 = hashlib.md5(
+        json.dumps(ints, separators=(",", ":")).encode()
+    ).hexdigest()
+    po_ints: list[int] = []
+    for subject in decode_subjects(sub, n):
+        g = ex.model.po_grid(page, subject, n)
+        po_ints.extend(int(round(float(x) * 1e6)) for x in g.reshape(-1))
+    po_md5 = hashlib.md5(
+        json.dumps(po_ints, separators=(",", ":")).encode()
+    ).hexdigest()
+    return len(tokens), sub_md5, po_md5
+
+
+def encoder_grid_hashes(pages_df, extractor_bc, text_col: str = "text"):
+    """pages -> (url, n_tokens, w_md5, grid_md5, po_md5): the
+    distributed grid-VALUE check.  ``w_md5`` fingerprints every tensor
+    of the broadcast encoder as the WORKER sees it; the grid hashes
+    cover the actual forward-pass outputs."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ex: PageExtractor = extractor_bc.value
+        w = ex.encoder.weights_fingerprint() if ex.encoder is not None else ""
+        cols = ["url", "n_tokens", "w_md5", "grid_md5", "po_md5"]
+        for pdf in it:
+            rows = []
+            for url, text in zip(pdf["url"], pdf[text_col]):
+                nt, gm, pm = encoder_grid_py(ex, text)
+                rows.append((url, nt, w, gm, pm))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages_df.select("url", text_col).mapInPandas(kernel, GRIDS_DDL)

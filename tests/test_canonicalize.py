@@ -70,3 +70,62 @@ def test_cc_random_graph_matches_union_find(spark):
         (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
     ]
     _check(spark, edges)
+
+
+def test_cc_three_lineage_modes_identical(spark, tmp_path):
+    """localCheckpoint (default), reliable checkpoint(), and parquet
+    round snapshots must produce identical components."""
+    rng = random.Random(11)
+    nodes = list(range(1, 80))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(100)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    want = _cc_oracle(edges)
+
+    local = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    reliable = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    snap = {
+        r["node"]: r["component"]
+        for r in connected_components(df, state_dir=str(tmp_path / "state")).collect()
+    }
+    assert local == reliable == snap == want
+    # reliable mode really wrote RDD checkpoint files
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt"))
+
+
+def test_cc_kill_one_round_resume(spark, tmp_path):
+    """Driver-loss resume: a run killed after one CC round (simulated
+    with max_iter=1 + state_dir) leaves _SUCCESS-complete round
+    snapshots; a rerun with the same state_dir resumes from the last
+    snapshot — writing only NEW rounds — and converges to the same
+    components as an uninterrupted run."""
+    import os
+
+    # a long chain needs several large/small-star rounds to converge
+    edges = [(i, i + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    state = str(tmp_path / "cc_state")
+
+    connected_components(df, max_iter=1, state_dir=state).collect()  # "crash"
+    rounds_before = sorted(
+        d for d in os.listdir(state) if d.startswith("round_")
+    )
+    assert rounds_before == ["round_0000", "round_0001"]
+    mtime_before = os.path.getmtime(os.path.join(state, "round_0001", "_SUCCESS"))
+
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, state_dir=state).collect()
+    }
+    rounds_after = sorted(d for d in os.listdir(state) if d.startswith("round_"))
+    # resume appended rounds >= 2 instead of rewriting 0/1 from scratch
+    assert rounds_after[: len(rounds_before)] == rounds_before
+    assert len(rounds_after) > len(rounds_before)
+    assert os.path.getmtime(os.path.join(state, "round_0001", "_SUCCESS")) == mtime_before
+    assert got == _cc_oracle(edges)

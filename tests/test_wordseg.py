@@ -90,6 +90,112 @@ def test_segment_jieba_branch_via_stub(monkeypatch):
     assert ids == [7, 7, 0, 0, 0, 0]
 
 
+FREQ = {"中国": 100, "国人": 50, "中": 10, "国": 10, "人": 10,
+        "spark": 80, "park": 40, "ark": 5, "查询": 30}
+
+
+def _brute_best_score(text, freq, total):
+    """Enumerate EVERY segmentation built from dict words + single
+    chars and return the max log-prob score (the global optimum the
+    max-probability DP must reach)."""
+    import math
+
+    logtotal = math.log(total)
+    n = len(text)
+    best = {n: 0.0}
+
+    def solve(i):
+        if i in best:
+            return best[i]
+        b = -float("inf")
+        for j in range(i, n):
+            w = text[i : j + 1]
+            if j == i or freq.get(w, 0) > 0:
+                s = math.log(freq.get(w) or 1) - logtotal + solve(j + 1)
+                b = max(b, s)
+        best[i] = b
+        return b
+
+    return solve(0)
+
+
+def _score(words, freq, total):
+    import math
+
+    lt = math.log(total)
+    return sum(math.log(freq.get(w) or 1) - lt for w in words)
+
+
+def test_mp_segment_golden_and_merging():
+    total = sum(FREQ.values())
+    # DP picks 中国+人 (log100+log10) over 中+国人 (log10+log50)
+    assert W.mp_segment("中国人", FREQ, total) == ["中国", "人"]
+    # dict word wins over char run; unknown latin singles merge (jieba's
+    # NO_HMM buffering)
+    assert W.mp_segment("sparkxyz", FREQ, total) == ["spark", "xyz"]
+    # block splitting: punctuation per char, whitespace runs as one token
+    assert W.mp_segment("中国, spark", FREQ, total) == ["中国", ",", " ", "spark"]
+    assert W.mp_segment("", FREQ) == []
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="中国人spark查询xyz ,.", min_size=0, max_size=16))
+def test_mp_segment_optimal_and_concat_property(text):
+    """Within each han/latin block the DP must reach the brute-force
+    optimal log-probability, and the whole segmentation must
+    concatenate back to the input exactly (the alignment invariant)."""
+    total = sum(FREQ.values())
+    words = W.mp_segment(text, FREQ, total)
+    assert "".join(words) == text
+    for blk in W._RE_HAN.split(text):
+        if blk and W._RE_HAN.fullmatch(blk):
+            blk_words = W.mp_segment(blk, FREQ, total)
+            # re-split merged latin buffers into DP tokens for scoring:
+            # merged unknowns score the same as their single chars
+            toks = []
+            for w in blk_words:
+                if w in FREQ or len(w) == 1:
+                    toks.append(w)
+                else:
+                    toks.extend(w)
+            got = _score(toks, FREQ, total)
+            want = _brute_best_score(blk, FREQ, total)
+            assert abs(got - want) < 1e-9, (blk, blk_words)
+
+
+def test_align_word_features_with_freq_dict(spark):
+    """The distributed operator routes through mp_segment when a freq
+    dict is broadcast: '中国人' aligns as 中国中国人, not FMM output."""
+    w2i = {w: i + 1 for i, w in enumerate(sorted(FREQ))}
+    df = spark.createDataFrame([(1, "中国人 spark")], "doc_id bigint, text string")
+    got = W.align_word_features(
+        df,
+        spark.sparkContext.broadcast(set(FREQ)),
+        spark.sparkContext.broadcast(w2i),
+        freq_bc=spark.sparkContext.broadcast(FREQ),
+    ).first()
+    zg, r, s = w2i["中国"], w2i["人"], w2i["spark"]
+    assert got["word_ids"] == [zg, zg, r] + [s] * 5
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("jieba") is None,
+    reason="jieba not installed in this container",
+)
+def test_mp_segment_matches_real_jieba_on_its_dict():
+    """With jieba installed: mp_segment over jieba's own frequency dict
+    must reproduce jieba.cut(HMM=False) token-for-token."""
+    import jieba
+
+    jieba.initialize()
+    freq = dict(jieba.dt.FREQ)
+    total = jieba.dt.total
+    for text in ["今天天气很好", "中国人民银行发行数字货币", "we test 123, ok。"]:
+        want = list(jieba.cut(text, HMM=False))
+        got = W.mp_segment(text, {w: f for w, f in freq.items() if f}, total)
+        assert got == want, (text, got, want)
+
+
 @pytest.mark.skipif(
     __import__("importlib").util.find_spec("jieba") is None,
     reason="jieba not installed in this container",

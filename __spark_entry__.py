@@ -706,6 +706,31 @@ def q_encoder_grids(spark, sf_dir):
     return encoder_grid_hashes(pages_df, _extractor_bc(spark))
 
 
+_NER_MODEL = None
+
+
+def _ner_model():
+    global _NER_MODEL
+    if _NER_MODEL is None:
+        from deepie_spark.operators.neuralner import NeuralNerModel
+
+        _NER_MODEL = NeuralNerModel()
+    return _NER_MODEL
+
+
+def q_neural_ner(spark, sf_dir):
+    """TENER-style NER over the documents table: relative-position
+    transformer encoder -> emission head -> CRF Viterbi -> BIO spans
+    (operators/neuralner.py; the encode->emit->CRF shape of the
+    reference's ner_net zoo).  Hash-checked per document against the
+    single-row python twin."""
+    _ensure(spark)
+    from deepie_spark.operators.neuralner import neural_ner_tags
+
+    bc = spark.sparkContext.broadcast(_ner_model())
+    return neural_ner_tags(_docs(spark, sf_dir), bc)
+
+
 def q_mentions_trie(spark, sf_dir):
     """The REAL mention operator (broadcast-trie longest-nonoverlap
     matching inside the token stage) — hash-checked against the
@@ -850,6 +875,32 @@ def _expected_encoder_grids(sf_dir):
                 ("url", pa.string()), ("n_tokens", pa.int32()),
                 ("w_md5", pa.string()), ("grid_md5", pa.string()),
                 ("po_md5", pa.string()),
+            ]
+        ),
+    )
+
+
+def _expected_neural_ner(sf_dir):
+    import duckdb
+    import pyarrow as pa
+
+    m = _ner_model()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for doc_id, text in docs:
+        nt, md, ns = m.doc_py(text)
+        rows.append(
+            {"doc_id": doc_id, "n_tokens": nt, "tags_md5": md, "n_spans": ns}
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()), ("n_tokens", pa.int32()),
+                ("tags_md5", pa.string()), ("n_spans", pa.int32()),
             ]
         ),
     )
@@ -1191,6 +1242,7 @@ _FIXTURE_BUILDERS = {
     "etl_stl_triples": _expected_etl_stl,
     "mentions_trie": _expected_mentions,
     "encoder_grids": _expected_encoder_grids,
+    "neural_ner": _expected_neural_ner,
     "attributes": _expected_attributes,
     "minhash_fast": _expected_minhash_fast,
     "word_alignment": _expected_word_alignment,
@@ -1249,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_stl_triples": q_etl_stl,
         "mentions_trie": q_mentions_trie,
         "encoder_grids": q_encoder_grids,
+        "neural_ner": q_neural_ner,
         "word_alignment": q_word_alignment,
         "media_features": q_media_features,
         "media_audio": q_media_audio,
@@ -1323,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "etl_stl_triples": fx("etl_stl_triples"),
         "mentions_trie": fx("mentions_trie"),
         "encoder_grids": fx("encoder_grids"),
+        "neural_ner": fx("neural_ner"),
         "attributes": fx("attributes"),
         "minhash_fast": fx("minhash_fast"),
         "word_alignment": fx("word_alignment"),

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "quality", "lang_id", "doc_fingerprint", "pricing_summary",
     "revenue_by_nation", "top_orders_per_customer", "event_sessions",
     "connected_components", "etl_stl_triples", "mentions_trie",
+    "neural_ner",
 ]
 
 
@@ -158,7 +159,7 @@ SCALING_REPLICATE = int(os.environ.get("DEEPIE_SCALING_REPLICATE", "256"))
 # copies keeps the 32-core leg >=60 s without inflating the 8-core leg
 # (the scaling ratio is replicate-invariant — same job, same skew)
 SCALING_LEVELS = (8, 32)  # the north rule's N -> 4N pair
-SCALING_ROUNDS = int(os.environ.get("DEEPIE_SCALING_ROUNDS", "3"))
+SCALING_ROUNDS = int(os.environ.get("DEEPIE_SCALING_ROUNDS", "5"))
 # ~2 MB splits -> ~4-9 waves at 32 cores on the replicated corpus:
 # enough waves that one straggler task doesn't extend the whole job
 # (measured: 0.926 occupancy vs 0.909 at 1 wave)
@@ -328,11 +329,19 @@ SCALING_TARGET = 0.8  # BASELINE.md north-rule gate
 def run_scaling() -> dict:
     """Interleaved N/4N rounds + engine-free probes (see module doc).
 
-    Rounds stop early once a same-weather pair reaches the north-rule
-    target (more rounds only exist to catch a clean host window), or
-    when the time budget is spent (so one badly-throttled round — a
-    32-core trial has been observed at 6x its clean-window time —
-    cannot blow up the whole bench run)."""
+    Stopping rule: keep sampling until the running MEDIAN of pair
+    efficiencies reaches the north-rule target (a single clean pair is
+    not enough — round 3's verdict asked for the median, not just the
+    best, to clear 0.8), up to SCALING_ROUNDS rounds or the time budget
+    (one badly-throttled round — a 32-core trial has been observed at
+    6x its clean-window time — must not blow up the whole bench run).
+
+    Each pair also records a same-weather validity signal: the pinned
+    busy-loop probe's per-core throughput at both levels.  A pair whose
+    two levels saw very different per-core host speed (probe ratio
+    outside [0.7, 1.43]) measured two different machines, not scaling;
+    the median over weather-valid pairs is reported alongside the raw
+    median so neighbor noise is isolated rather than averaged in."""
     lo, hi = SCALING_LEVELS
     rounds = []
     t_start = time.time()
@@ -340,18 +349,26 @@ def run_scaling() -> dict:
         pair = {c: _run_level(c) for c in SCALING_LEVELS}
         thr = {c: pair[c]["triples"] / pair[c]["sec"] for c in pair}
         pair["eff"] = round(thr[hi] / (hi // lo) / thr[lo], 3)
+        percore = {
+            c: pair[c]["probe_mcounts"] / c for c in SCALING_LEVELS
+        }
+        pair["weather_ratio"] = round(percore[hi] / percore[lo], 3)
+        pair["weather_ok"] = 0.7 <= pair["weather_ratio"] <= 1.43
         rounds.append(pair)
         print(
             f"scaling round: {lo}c={pair[lo]['sec']}s "
-            f"{hi}c={pair[hi]['sec']}s eff={pair['eff']}",
+            f"{hi}c={pair[hi]['sec']}s eff={pair['eff']} "
+            f"weather={pair['weather_ratio']}",
             file=sys.stderr, flush=True,
         )
-        if pair["eff"] >= SCALING_TARGET:
-            break  # target met in this window; extra rounds add nothing
+        effs_so_far = [r["eff"] for r in rounds]
+        if statistics.median(effs_so_far) >= SCALING_TARGET:
+            break  # the median itself clears the gate; stop sampling
         if time.time() - t_start > SCALING_TIME_BUDGET_S and i + 1 >= 2:
             print("scaling: time budget spent", file=sys.stderr, flush=True)
             break
     effs = [r["eff"] for r in rounds]
+    valid_effs = [r["eff"] for r in rounds if r["weather_ok"]] or effs
     best_round = max(rounds, key=lambda r: r["eff"])
     # best-of-rounds per level (the least-throttled estimate of each
     # level, like best-of-3 wall times elsewhere in this file)
@@ -386,6 +403,8 @@ def run_scaling() -> dict:
             {
                 "sec": {str(c): r[c]["sec"] for c in SCALING_LEVELS},
                 "eff": r["eff"],
+                "weather_ratio": r["weather_ratio"],
+                "weather_ok": r["weather_ok"],
             }
             for r in rounds
         ],
@@ -397,6 +416,15 @@ def run_scaling() -> dict:
         # pairs shown alongside so the spread is visible
         f"efficiency_{lo}_to_{hi}": eff_best_pair,
         f"efficiency_{lo}_to_{hi}_median": round(statistics.median(effs), 3),
+        # median restricted to pairs whose two levels sampled the same
+        # host weather (probe per-core ratio in [0.7, 1.43]) — the
+        # defensible scaling estimate on a noisy shared box
+        f"efficiency_{lo}_to_{hi}_median_same_weather": round(
+            statistics.median(valid_effs), 3
+        ),
+        "n_weather_valid_pairs": len(
+            [r for r in rounds if r["weather_ok"]]
+        ),
         f"efficiency_{lo}_to_{hi}_best_of_best": round(
             thr_best[hi] / (hi // lo) / thr_best[lo], 3
         ),

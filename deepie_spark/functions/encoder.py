@@ -203,21 +203,24 @@ class TinyTransformerEncoder:
         L = len(ids)
         h = self.tok_emb[ids] + self.pos_emb[: min(L, self.max_len)][:L]
         h = h @ self.w_in
-        nh, dh = self.n_heads, self.d_model // self.n_heads
-        inv_sqrt = np.float32(1.0 / np.sqrt(dh))
         for lay in self.layers:
             x = _layer_norm(h, lay["ln1_g"], lay["ln1_b"])
-            q = (x @ lay["wq"]).reshape(L, nh, dh).transpose(1, 0, 2)
-            k = (x @ lay["wk"]).reshape(L, nh, dh).transpose(1, 0, 2)
-            v = (x @ lay["wv"]).reshape(L, nh, dh).transpose(1, 0, 2)
-            att = _softmax(q @ k.transpose(0, 2, 1) * inv_sqrt)  # [H,L,L]
-            ctx = (att @ v).transpose(1, 0, 2).reshape(L, self.d_model)
-            h = h + ctx @ lay["wo"]
+            h = h + self._attention(lay, x, L) @ lay["wo"]
             x = _layer_norm(h, lay["ln2_g"], lay["ln2_b"])
             h = h + _gelu(x @ lay["w1"] + lay["b1"]) @ lay["w2"] + lay["b2"]
         return _layer_norm(h, self.lnf_g, self.lnf_b)
 
     # -- gate probabilities ----------------------------------------------
+
+    def _attention(self, lay: dict, x: np.ndarray, L: int) -> np.ndarray:
+        """Vanilla scaled dot-product multi-head attention -> [L, D]."""
+        nh, dh = self.n_heads, self.d_model // self.n_heads
+        inv_sqrt = np.float32(1.0 / np.sqrt(dh))
+        q = (x @ lay["wq"]).reshape(L, nh, dh).transpose(1, 0, 2)
+        k = (x @ lay["wk"]).reshape(L, nh, dh).transpose(1, 0, 2)
+        v = (x @ lay["wv"]).reshape(L, nh, dh).transpose(1, 0, 2)
+        att = _softmax(q @ k.transpose(0, 2, 1) * inv_sqrt)  # [H,L,L]
+        return (att @ v).transpose(1, 0, 2).reshape(L, self.d_model)
 
     def subject_gates(self, hidden: np.ndarray) -> np.ndarray:
         """[L, 2] gate probabilities in (GATE_LO, GATE_LO+GATE_SPAN)."""
@@ -235,3 +238,82 @@ class TinyTransformerEncoder:
         flat = self.w_obj.reshape(self.num_labels * 2, self.d_model)
         logits = (hidden @ flat.T).reshape(L, self.num_labels, 2) + cond
         return GATE_LO + GATE_SPAN * sigmoid(logits.astype(np.float64))
+
+
+def sinusoid_rel_embeddings(L: int, dim: int) -> np.ndarray:
+    """Sinusoidal relative-position embeddings r_t for t in
+    [-(L-1), L-1], shape [2L-1, dim] — the fixed (non-learned) relative
+    encoding TENER uses (Yan et al. 2019; Vaswani et al. 2017 formula
+    over signed distances)."""
+    t = np.arange(-(L - 1), L, dtype=np.float32)[:, None]  # [2L-1, 1]
+    k = np.arange(dim // 2, dtype=np.float32)[None, :]
+    inv = np.power(np.float32(10000.0), -2.0 * k / np.float32(dim))
+    ang = t * inv  # [2L-1, dim/2]
+    out = np.empty((2 * L - 1, dim), dtype=np.float32)
+    out[:, 0::2] = np.sin(ang)
+    out[:, 1::2] = np.cos(ang)
+    return out
+
+
+class RelativeAttentionEncoder(TinyTransformerEncoder):
+    """TENER-style relative-position multi-head attention.
+
+    The reference's TENER NER encoder (models/ner_net/tener.py:9-80;
+    layers/encoders/transformers/relative_transformer.py:7-161)
+    replaces absolute-position attention with the public
+    relative-position form (Yan et al. 2019, "TENER: Adapting
+    Transformer Encoder for Named Entity Recognition"):
+
+        A[i,j] = q_i.k_j + q_i.r_{i-j} + u.k_j + v.r_{i-j}
+
+    per head, with sinusoidal relative embeddings r_t over SIGNED
+    distances and — TENER's documented divergence from vanilla
+    attention — NO 1/sqrt(d) scaling.  ``u``/``v`` are seeded learned
+    global biases (one pair per layer and head).  Position embeddings
+    from the base class are NOT added (relative attention replaces
+    them), which is what makes the encoder distance-aware rather than
+    offset-aware: shifting a sequence leaves pairwise attention
+    unchanged."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        dh = self.d_model // self.n_heads
+        rng = np.random.default_rng(kwargs.get("seed", 20260816) + 101)
+        for lay in self.layers:
+            lay["u"] = (rng.standard_normal((self.n_heads, dh), dtype=np.float32)
+                        * np.float32(0.1))
+            lay["v"] = (rng.standard_normal((self.n_heads, dh), dtype=np.float32)
+                        * np.float32(0.1))
+
+    def forward(self, tokens: list[str]) -> np.ndarray:
+        ids = self.token_ids(tokens)
+        L = len(ids)
+        # no absolute position term: relative attention owns position
+        h = self.tok_emb[ids] @ self.w_in
+        rel = sinusoid_rel_embeddings(L, self.d_model // self.n_heads)
+        # gather index: column (i - j) + L - 1 of the BD matrix
+        idx = (np.arange(L)[:, None] - np.arange(L)[None, :]) + L - 1
+        for lay in self.layers:
+            x = _layer_norm(h, lay["ln1_g"], lay["ln1_b"])
+            h = h + self._rel_attention(lay, x, L, rel, idx) @ lay["wo"]
+            x = _layer_norm(h, lay["ln2_g"], lay["ln2_b"])
+            h = h + _gelu(x @ lay["w1"] + lay["b1"]) @ lay["w2"] + lay["b2"]
+        return _layer_norm(h, self.lnf_g, self.lnf_b)
+
+    def _rel_attention(
+        self, lay: dict, x: np.ndarray, L: int,
+        rel: np.ndarray, idx: np.ndarray,
+    ) -> np.ndarray:
+        nh, dh = self.n_heads, self.d_model // self.n_heads
+        q = (x @ lay["wq"]).reshape(L, nh, dh).transpose(1, 0, 2)  # [H,L,dh]
+        k = (x @ lay["wk"]).reshape(L, nh, dh).transpose(1, 0, 2)
+        v = (x @ lay["wv"]).reshape(L, nh, dh).transpose(1, 0, 2)
+        u = lay["u"][:, None, :]  # [H,1,dh]
+        vv = lay["v"][:, None, :]
+        # content term (q+u).k^T and position term (q+v).r^T, gathered
+        # to A[i,j] via the signed-distance index; unscaled (TENER)
+        ac = (q + u) @ k.transpose(0, 2, 1)  # [H,L,L]
+        bd_full = (q + vv) @ rel.T  # [H,L,2L-1]
+        bd = bd_full[:, np.arange(L)[:, None], idx]  # [H,L,L]
+        att = _softmax(ac + bd)
+        return (att @ v).transpose(1, 0, 2).reshape(L, self.d_model)

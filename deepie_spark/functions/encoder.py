@@ -198,10 +198,27 @@ class TinyTransformerEncoder:
         return ids
 
     def forward(self, tokens: list[str]) -> np.ndarray:
-        """wrapped token strings -> hidden states [L, d_model]."""
+        """token strings -> hidden states [L, d_model].
+
+        Sequences longer than ``max_len`` are processed as independent
+        consecutive windows (positions restart per window), exactly how
+        a fixed-context encoder handles over-length input — bounding
+        the O(window^2) attention cost and the position table, and
+        always returning one state per input token.  For L <= max_len
+        (every cascade page: wrapped length <= 258) this is a single
+        window, bit-identical to the unwindowed computation."""
         ids = self.token_ids(tokens)
+        if len(ids) <= self.max_len:
+            return self._forward_window(ids)
+        parts = [
+            self._forward_window(ids[i : i + self.max_len])
+            for i in range(0, len(ids), self.max_len)
+        ]
+        return np.concatenate(parts, axis=0)
+
+    def _forward_window(self, ids: np.ndarray) -> np.ndarray:
         L = len(ids)
-        h = self.tok_emb[ids] + self.pos_emb[: min(L, self.max_len)][:L]
+        h = self.tok_emb[ids] + self.pos_emb[:L]
         h = h @ self.w_in
         for lay in self.layers:
             x = _layer_norm(h, lay["ln1_g"], lay["ln1_b"])
@@ -285,8 +302,7 @@ class RelativeAttentionEncoder(TinyTransformerEncoder):
             lay["v"] = (rng.standard_normal((self.n_heads, dh), dtype=np.float32)
                         * np.float32(0.1))
 
-    def forward(self, tokens: list[str]) -> np.ndarray:
-        ids = self.token_ids(tokens)
+    def _forward_window(self, ids: np.ndarray) -> np.ndarray:
         L = len(ids)
         # no absolute position term: relative attention owns position
         h = self.tok_emb[ids] @ self.w_in

@@ -65,7 +65,13 @@ class NeuralNerModel:
     def __init__(self, tags: list[str] | None = None, seed: int = 77):
         self.tags = list(tags or NER_TAGS)
         K = len(self.tags)
-        self.encoder = RelativeAttentionEncoder({}, seed=20260816 + seed)
+        # 128-token context window: web documents run long and relative
+        # attention is O(window^2); over-length docs process as
+        # independent windows (encoder.forward), every token still gets
+        # a state/tag — the standard fixed-context NER treatment
+        self.encoder = RelativeAttentionEncoder(
+            {}, seed=20260816 + seed, max_len=128
+        )
         rng = np.random.default_rng(seed)
         d = self.encoder.d_model
         self.w_emit = (rng.standard_normal((d, K)) * 0.8).astype(np.float32)

@@ -89,6 +89,26 @@ def test_crf_mask_makes_every_sequence_valid(model):
     assert non_o > 100  # the head actually predicts entities, not all-O
 
 
+def test_over_length_docs_window_not_crash(model):
+    """Docs longer than the context window process as independent
+    windows: one tag per token, window 1 identical to a standalone
+    window-sized doc (the old code CRASHED past max_len on a shape
+    mismatch)."""
+    W = model.encoder.max_len
+    toks = [f"w{i % 50}" for i in range(3 * W + 17)]
+    tags = model.tag_tokens_py(toks)
+    assert len(tags) == len(toks)  # one tag per token, no crash
+    assert tags == model.tag_tokens_py(toks)  # deterministic
+    # encoder states of window 1 equal a standalone window-sized doc
+    # (Viterbi is global, so TAGS may differ near the boundary — the
+    # windowing contract is about the encoder)
+    import numpy as np
+
+    assert np.array_equal(
+        model.encoder.forward(toks)[:W], model.encoder.forward(toks[:W])
+    )
+
+
 def test_distributed_matches_python_twin(spark, model):
     rows = [
         (1, "alpha beta 42 gamma"),

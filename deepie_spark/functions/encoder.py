@@ -47,9 +47,15 @@ BERT_VOCAB_SIZE = 21128  # public bert-base-chinese vocab size
 
 
 def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
-    mu = x.mean(axis=-1, keepdims=True)
-    var = x.var(axis=-1, keepdims=True)
-    return (x - mu) / np.sqrt(var + np.float32(1e-5)) * g + b
+    # hand-rolled mean/variance: np.mean/np.var route through python
+    # wrappers whose per-call overhead dominated the whole forward on
+    # [~50, 32] arrays (profiled at ~50% of encoder time); sum-based
+    # moments cut the dispatch count ~2x with identical math
+    inv_d = np.float32(1.0 / x.shape[-1])
+    mu = x.sum(axis=-1, keepdims=True) * inv_d
+    d = x - mu
+    var = (d * d).sum(axis=-1, keepdims=True) * inv_d
+    return d / np.sqrt(var + np.float32(1e-5)) * g + b
 
 
 def _gelu(x: np.ndarray) -> np.ndarray:

@@ -98,6 +98,74 @@ def stateful_user_progress(events_stream: DataFrame):
     )
 
 
+def streaming_dedup_candidates(
+    docs_stream: DataFrame,
+    n_hashes: int = 8,
+    shingle_k: int = 5,
+    n_bands: int = 4,
+    max_bucket: int = 64,
+):
+    """Streaming MinHash-LSH near-dup candidates with cross-batch
+    state: every arriving document is checked against ALL previously
+    seen documents (per LSH bucket), not just its own micro-batch —
+    the dedup a live crawl actually needs.
+
+    Plan: fast numpy signatures (stateless ``mapInPandas``) -> band
+    hashes -> ``applyInPandasWithState`` keyed by (band_id, band_hash)
+    holding each bucket's member doc-ids.  An arriving doc emits one
+    candidate pair per existing member, then joins the bucket.
+
+    Scale guards, same stance as the batch chain
+    (``dedup.lsh_candidate_pairs``): bucket membership is capped at
+    ``max_bucket`` — a degenerate bucket (10^6 identical docs) stops
+    emitting pairs AND stops growing state (bounded state store);
+    recall loss at the cap is the documented tradeoff, and exact-hash
+    dedup owns the identical-doc regime.  Pairs can repeat across
+    bands (the batch path's ``distinct``); dedup downstream or in the
+    sink MERGE.  Output: append-mode (a, b, band_id) rows."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from deepie_spark.operators.dedup import lsh_bands, minhash_signatures_fast
+
+    sig = minhash_signatures_fast(
+        docs_stream, n_hashes=n_hashes, shingle_k=shingle_k
+    )
+    bands = lsh_bands(sig, n_bands=n_bands)
+
+    def update(key, pdfs, state: GroupState):
+        members = list(state.get[0]) if state.exists else []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if len(members) >= max_bucket:
+                    continue  # capped bucket: no pairs, no state growth
+                for m in members:
+                    a, b = (m, d) if m < d else (d, m)
+                    out_a.append(a)
+                    out_b.append(b)
+                members.append(d)
+        state.update((members,))
+        yield pd.DataFrame(
+            {
+                "a": out_a,
+                "b": out_b,
+                "band_id": [int(key[0])] * len(out_a),
+            }
+        )
+
+    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType="a bigint, b bigint, band_id int",
+        stateStructType="members array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_duration: str = "1 minute",

@@ -97,3 +97,66 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select sum(n) from evcounts").first()[0]
     assert got == 500
+
+
+def test_streaming_dedup_candidates_cross_batch(spark, tmp_path):
+    """Near-dup pairs must form ACROSS micro-batches (the state, not
+    the batch, is the comparison set): doc 100 arrives in batch 1,
+    its near-identical twin 200 in batch 2 — the pair must still be
+    emitted.  maxFilesPerTrigger=1 forces one micro-batch per file."""
+    from deepie_spark.streaming.ingest import streaming_dedup_candidates
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    b1 = [(100, base), (101, "completely unrelated text about shuffles " * 5)]
+    b2 = [(200, base + "tail"), (201, "another distinct document entirely " * 5)]
+    src = tmp_path / "docs_stream"
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_dedup_candidates(stream, n_hashes=16, n_bands=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("streamdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.sql("select a, b from streamdedup").collect()
+    }
+    assert (100, 200) in pairs  # cross-batch near-dup found via state
+    assert (100, 101) not in pairs and (201, 200) not in pairs
+
+
+def test_streaming_dedup_hot_bucket_cap_bounds_state(spark, tmp_path):
+    """A degenerate stream (hundreds of identical docs) must stop
+    emitting pairs AND stop growing state at max_bucket — bounded
+    state store, linear output (the streaming twin of the batch
+    lsh_candidate_pairs cap)."""
+    from deepie_spark.streaming.ingest import streaming_dedup_candidates
+
+    cap = 10
+    rows = [(i, "identical degenerate text everywhere") for i in range(300)]
+    src = tmp_path / "hot_stream"
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(str(src))
+    out = streaming_dedup_candidates(stream, n_hashes=8, n_bands=4, max_bucket=cap)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hotdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n = spark.sql("select count(*) n from hotdedup").first()["n"]
+    # per band at most cap*(cap-1)/2 pairs; 4 bands -> bounded, not 300^2/2
+    assert 0 < n <= 4 * cap * (cap - 1) // 2

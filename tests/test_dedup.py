@@ -212,6 +212,39 @@ def test_jaccard_candidates_plan_is_pair_local(spark):
     assert plan.count("Join") <= 2
 
 
+def test_jaccard_pair_local_equals_self_join_plan(spark):
+    """The two physical plans of ngram_jaccard_pairs must agree: for
+    random corpora, the pair-local candidates path restricted to ALL
+    pairs produces exactly the self-join path's output (threshold > 0,
+    where the plans are defined to be identical)."""
+    import random
+
+    rng = random.Random(31)
+    vocab = ["alpha", "beta", "gamma", "of", "the", "spark", "x1", "x2"]
+    for seed in range(3):
+        rng.seed(seed)
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(25)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        all_pairs = spark.createDataFrame(
+            [(a, b) for a in range(25) for b in range(a + 1, 25)],
+            "a bigint, b bigint",
+        )
+        via_self = {
+            (r["a"], r["b"]): round(r["jaccard"], 12)
+            for r in D.ngram_jaccard_pairs(docs, n=2, threshold=0.3).collect()
+        }
+        via_pairs = {
+            (r["a"], r["b"]): round(r["jaccard"], 12)
+            for r in D.ngram_jaccard_pairs(
+                docs, n=2, threshold=0.3, candidates=all_pairs
+            ).collect()
+        }
+        assert via_self == via_pairs, seed
+
+
 def test_jaccard_hot_gram_stays_linear_in_candidates(spark):
     """Adversarial fixture: EVERY doc shares the stop-word bigram
     'of the'.  The gram self-join form would build ~n^2/2 intermediate

@@ -205,13 +205,18 @@ def alias_edges(alias_dim: DataFrame) -> DataFrame:
 
 
 def canonicalize_entities(
-    linked_triples: DataFrame, alias_dim: DataFrame, extractor_bc
+    linked_triples: DataFrame,
+    alias_dim: DataFrame,
+    extractor_bc,
+    cc_state_dir: str | None = None,
 ) -> DataFrame:
     """Assign a cluster id to every distinct subject/object surface.
 
     Returns (norm_key, node, component, canonical_id) — canonical_id is
     the smallest linked dictionary id in the component (null for
-    literal-only clusters)."""
+    literal-only clusters).  ``cc_state_dir`` routes the CC loop
+    through resumable parquet round snapshots (driver-loss-safe; see
+    ``connected_components``); default is per-round localCheckpoint."""
     from deepie_spark.operators.linking import norm_key_udf
 
     norm = norm_key_udf(extractor_bc)
@@ -226,7 +231,7 @@ def canonicalize_entities(
     # alias-star edges connect them transitively
     edges = alias_edges(alias_dim)
     # self-edges keep isolated surfaces as singleton components
-    comp = connected_components(edges)
+    comp = connected_components(edges, state_dir=cc_state_dir)
     out = surf_nodes.join(comp, "node", "left").withColumn(
         "component", F.coalesce("component", F.col("node"))
     )

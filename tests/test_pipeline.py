@@ -66,3 +66,31 @@ def test_entities_table_clusters(spark, extractor, corpus_dfs, tmp_path_factory)
     # every cluster has a representative; clusters with dictionary hits
     # carry a canonical_id
     assert ents.filter(F.col("representative").isNull()).count() == 0
+
+
+def test_pipeline_durable_cc_snapshots(spark, extractor, corpus_dfs, tmp_path_factory):
+    """durable_cc=True routes canonicalization's CC rounds through
+    parquet snapshots under the lake (driver-loss resume mid-CC);
+    clusters must equal the default localCheckpoint run."""
+    import os
+
+    pages_df, _gold, alias_df = corpus_dfs
+    root_a = tmp_path_factory.mktemp("lake_cc_a")
+    root_b = tmp_path_factory.mktemp("lake_cc_b")
+    pa = KgPipeline(spark, str(root_a), extractor, run_id="cc1")
+    pb = KgPipeline(spark, str(root_b), extractor, run_id="cc1", durable_cc=True)
+    pa.run(pages_df, alias_df, resume=False)
+    pb.run(pages_df, alias_df, resume=False)
+
+    a = {
+        (r["norm_key"], r["component"])
+        for r in pa.lake.read("entity_clusters").collect()
+    }
+    b = {
+        (r["norm_key"], r["component"])
+        for r in pb.lake.read("entity_clusters").collect()
+    }
+    assert a == b
+    state = os.path.join(str(root_b), "_cc_state", "cc1")
+    rounds = [d for d in os.listdir(state) if d.startswith("round_")]
+    assert rounds  # snapshots really landed in the lake

@@ -68,9 +68,12 @@ def extract_text_py(html_bytes: bytes | None) -> str:
     return s.strip(" \t\r\n\f\v")
 
 
-def clean_text_py(text: str) -> str:
-    """Reference ingest cleaning: drop '®' and '◆' (data_loader_v2.py:185-186)."""
-    return text.replace("®", "").replace("◆", "")
+def clean_text_py(text: str | None) -> str:
+    """Reference ingest cleaning: drop '®' and '◆'
+    (data_loader_v2.py:185-186).  None -> "" — a crawl WILL contain
+    null-text rows (failed html extraction) and they must flow as
+    zero-triple pages, not kill the task."""
+    return (text or "").replace("®", "").replace("◆", "")
 
 
 def strip_nbsp_py(text: str) -> str:

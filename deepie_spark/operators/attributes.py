@@ -108,7 +108,8 @@ class AttributeExtractor:
                     break
         return out
 
-    def extract_record_py(self, text: str) -> list[dict]:
+    def extract_record_py(self, text: str | None) -> list[dict]:
+        text = text or ""  # null rows flow as zero-attribute records
         tokens, starts, ends = tokenize_with_offsets(
             text, self.tokenizer, self.max_seq_length
         )

@@ -82,3 +82,21 @@ def test_arrow_batch_size_invariance(spark, extractor):
         else:
             spark.conf.unset(key)
     assert results[0] == results[1] == results[2]
+
+
+def test_null_and_garbage_texts_flow_not_crash(spark, extractor):
+    """A crawl WILL deliver null-text rows (failed html extraction),
+    empty strings, and binary garbage; every per-row kernel must emit
+    zero results for them, never kill the task."""
+    from deepie_spark.operators.attributes import AttributeExtractor
+    from deepie_spark.operators.extract import extract_triples_fused
+
+    rows = [
+        (f"u{i}", "en", t)
+        for i, t in enumerate([None, "", "   ", "\x00\x01garbage\xff", "plain text"])
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string, text string")
+    bc = spark.sparkContext.broadcast(extractor)
+    assert extract_triples_fused(df, bc).count() == 0  # no planted entities
+    assert AttributeExtractor().extract_record_py(None) == []
+    assert extractor.extract_page_py(None) == []

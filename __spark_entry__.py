@@ -359,6 +359,27 @@ def q_near_dup_lsh(spark, sf_dir):
     )
 
 
+def q_near_dup_lsh_fast(spark, sf_dir):
+    """Production ANN near-dup chain: numpy bucket assignment (one
+    matmul per Arrow batch) -> capped bucket self-join -> vectorized
+    cosine scoring (similarity.lsh_buckets_fast / lsh_ann_pairs_fast).
+    Hash-checked against the numpy python twin; the expression chain
+    (`near_dup_lsh`) stays as the HOF/DuckDB-shaped twin."""
+    _ensure(spark)
+    from deepie_spark.operators.similarity import (
+        lsh_ann_pairs_fast,
+        lsh_buckets_fast,
+    )
+
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()["embedding"])
+    buckets = lsh_buckets_fast(e, dim=dim, n_planes=8)
+    out = lsh_ann_pairs_fast(buckets, threshold=0.35, max_bucket=4096)
+    return out.select(
+        "a", "b", F.round(F.col("score") * 1e6).cast("bigint").alias("score_e6")
+    )
+
+
 def q_micro_prf_sets(spark, sf_dir):
     # single full-outer join + one aggregation (NOT three count()
     # actions re-running the same join; see metrics._tp_fp_fn)
@@ -1097,6 +1118,61 @@ def _expected_near_dup_lsh(sf_dir):
     )
 
 
+def _expected_near_dup_lsh_fast(sf_dir):
+    """Python twin of the numpy ANN chain: same md5 planes, same
+    vectorized float64 ops (vstack + matmul + row sums) so results are
+    bit-identical to the Arrow kernel, same e6 HALF_UP rounding."""
+    import decimal
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from deepie_spark.operators.similarity import _planes
+
+    rows_in = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows_in], dtype=np.int64)
+    V = np.array([[float(x) for x in r[1]] for r in rows_in], dtype=np.float64)
+    planes = np.array(_planes(V.shape[1], 8, 42), dtype=np.float64)
+    # same broadcast-multiply form as the Arrow kernel (bit-exact)
+    dots = (V[:, None, :] * planes[None, :, :]).sum(axis=2)
+    buckets = ((dots >= 0) * (2 ** np.arange(8, dtype=np.int64))).sum(axis=1)
+
+    by_bucket: dict[int, list[int]] = {}
+    for i, bkt in enumerate(buckets):
+        by_bucket.setdefault(int(bkt), []).append(i)
+    rows = []
+    for members in by_bucket.values():
+        if len(members) > 4096:  # mirror the max_bucket cap
+            continue
+        for ii, i in enumerate(members):
+            for j in members[ii + 1 :]:
+                a, b = (i, j) if ids[i] < ids[j] else (j, i)
+                va, vb = V[a], V[b]
+                dot = (va * vb).sum()
+                score = dot / (
+                    np.sqrt((va * va).sum()) * np.sqrt((vb * vb).sum()) + 1e-12
+                )
+                if score >= 0.35:
+                    e6 = int(
+                        decimal.Decimal(repr(float(score) * 1e6)).quantize(
+                            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                        )
+                    )
+                    rows.append(
+                        {"a": int(ids[a]), "b": int(ids[b]), "score_e6": e6}
+                    )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("score_e6", pa.int64())]
+        ),
+    )
+
+
 def _expected_dedup_clusters(sf_dir):
     """Python twin of the full dedup chain: fast signatures -> band
     buckets (cap 256) -> candidate pairs -> 2-gram Jaccard >= 0.8 ->
@@ -1247,6 +1323,7 @@ _FIXTURE_BUILDERS = {
     "minhash_fast": _expected_minhash_fast,
     "word_alignment": _expected_word_alignment,
     "near_dup_lsh": _expected_near_dup_lsh,
+    "near_dup_lsh_fast": _expected_near_dup_lsh_fast,
     "lsh_pairs_fast": _expected_lsh_pairs_fast,
 }
 
@@ -1288,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "near_dup_brute": q_near_dup_brute,
         "near_dup_lsh": q_near_dup_lsh,
+        "near_dup_lsh_fast": q_near_dup_lsh_fast,
         "micro_prf_sets": q_micro_prf_sets,
         "per_source_detail": q_per_source_detail,
         "salted_source_counts": q_salted_source_counts,
@@ -1384,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio": fx("media_audio"),
         "dedup_clusters": fx("dedup_clusters"),
         "near_dup_lsh": fx("near_dup_lsh"),
+        "near_dup_lsh_fast": fx("near_dup_lsh_fast"),
         "lsh_pairs_fast": fx("lsh_pairs_fast"),
         "clean_text": """
             SELECT doc_id,

@@ -121,6 +121,124 @@ def lsh_buckets(
     )
 
 
+def lsh_buckets_fast(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Arrow-batched numpy bucket assignment — the 100-TB fast path.
+
+    The expression form (``lsh_buckets``) evaluates one interpreted
+    ``aggregate`` lambda per plane per row (HOF lambdas never reach
+    codegen): measured ~1.7 ms/vector at dim 64 x 8 planes — dead at
+    10^9 vectors.  This kernel computes ALL plane dots as one
+    [B, dim] @ [dim, n_planes] matmul per Arrow batch.  Same md5-seeded
+    planes; float accumulation order differs from the left-to-right
+    HOF expression, so a |dot| within float error of zero could flip a
+    bucket bit — the fast path is therefore its own operator with its
+    own python-twin oracle (``near_dup_lsh_fast``), exactly like
+    ``minhash_signatures_fast`` vs the expression MinHash."""
+    import numpy as np
+
+    planes = np.array(_planes(dim, n_planes, seed), dtype=np.float64)  # [P,dim]
+    weights = (2 ** np.arange(n_planes, dtype=np.int64))
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf):
+                v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # broadcast-multiply + last-axis sum instead of a gemm:
+                # per-row accumulation is then independent of the batch
+                # shape (BLAS gemm may pick different kernels by M),
+                # keeping results bit-identical across Arrow batch
+                # sizes AND equal to the driver-side python twin
+                dots = (v[:, None, :] * planes[None, :, :]).sum(axis=2)
+                buckets = ((dots >= 0) * weights).sum(axis=1)
+            else:
+                buckets = []
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "bucket": buckets,
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} bigint, {vec_col} array<double>, bucket bigint"
+    )
+
+
+def cosine_pairs_kernel(threshold: float):
+    """mapInPandas kernel factory: rows with (a, b, va, vb) -> scored
+    pairs >= threshold, all dots as vectorized numpy (no per-row HOF)."""
+    import numpy as np
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                yield pd.DataFrame({"a": [], "b": [], "score": []})
+                continue
+            va = np.vstack(pdf["va"].to_numpy()).astype(np.float64)
+            vb = np.vstack(pdf["vb"].to_numpy()).astype(np.float64)
+            dots = (va * vb).sum(axis=1)
+            na = np.sqrt((va * va).sum(axis=1))
+            nb = np.sqrt((vb * vb).sum(axis=1))
+            score = dots / (na * nb + 1e-12)
+            keep = score >= threshold
+            yield pd.DataFrame(
+                {
+                    "a": pdf["a"].to_numpy()[keep],
+                    "b": pdf["b"].to_numpy()[keep],
+                    "score": score[keep],
+                }
+            )
+
+    return kernel
+
+
+def lsh_ann_pairs_fast(
+    buckets: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Fast-path near-dup pairs: same capped bucket self-join shape as
+    ``lsh_ann_pairs``, but pair scoring runs as one vectorized numpy
+    pass instead of a per-pair interpreted cosine expression."""
+    if max_bucket is not None:
+        sizes = buckets.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        buckets = (
+            buckets.join(sizes, "bucket")
+            .where(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
+    a = buckets.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+    )
+    return pairs.mapInPandas(
+        cosine_pairs_kernel(threshold), "a bigint, b bigint, score double"
+    )
+
+
 def ivf_train_centroids(
     embeddings: DataFrame,
     k: int = 16,

@@ -92,6 +92,44 @@ def test_lsh_ann_hot_bucket_cap_bounds_pairs(spark):
     assert uncapped == 500 * 499 // 2 + 1
 
 
+def test_lsh_fast_path_recall_and_batch_invariance(spark):
+    """The numpy fast chain finds the same planted near-dups as the
+    expression chain, under any Arrow batch size (bit-identical
+    buckets and scores across batch boundaries)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 16))
+    rows, planted = [], []
+    vid = 0
+    for i in range(30):
+        rows.append((vid, base[i].astype(float).tolist()))
+        vid += 1
+        if i % 3 == 0:
+            noisy = base[i] + rng.normal(scale=0.005, size=16)
+            rows.append((vid, noisy.astype(float).tolist()))
+            planted.append((vid - 1, vid))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    outs = []
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    for n in ("1", "512"):
+        spark.conf.set(key, n)
+        buckets = S.lsh_buckets_fast(df, dim=16, n_planes=6)
+        got = {
+            (r["a"], r["b"]): r["score"]
+            for r in S.lsh_ann_pairs_fast(buckets, threshold=0.99).collect()
+        }
+        outs.append(got)
+    spark.conf.unset(key)
+    assert outs[0] == outs[1]  # bit-identical across batch sizes
+    hit = sum(1 for p in planted if p in outs[0])
+    assert hit / len(planted) >= 0.6
+    # the cap bounds degenerate buckets in the fast path too
+    hot = [(i, [1.0] + [0.0] * 15) for i in range(200)]
+    hot_df = spark.createDataFrame(hot, "vec_id bigint, embedding array<double>")
+    b = S.lsh_buckets_fast(hot_df, dim=16, n_planes=8)
+    assert S.lsh_ann_pairs_fast(b, threshold=0.9, max_bucket=50).count() == 0
+
+
 def test_ivf_recall_vs_brute_force(spark, emb, emb_np):
     from deepie_spark.operators.similarity import (
         cosine_topk,

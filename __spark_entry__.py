@@ -248,6 +248,16 @@ def q_simhash(spark, sf_dir):
     return s.select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash Hamming-ball near-dup pairs (pigeonhole band join +
+    bit_count verify, dedup.simhash_near_pairs) — full cross-engine
+    oracle: DuckDB computes the same bands/xor/bit_count."""
+    from deepie_spark.operators.dedup import simhash, simhash_near_pairs
+
+    s = simhash(_docs(spark, sf_dir), n_bits=16)
+    return simhash_near_pairs(s, n_bits=16, max_hamming=3)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from deepie_spark.operators.textstats import doc_fingerprint
 
@@ -1357,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs_fast": q_lsh_pairs_fast,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
         "quality": q_quality,
@@ -1559,6 +1570,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, {bit_sums} FROM wh GROUP BY doc_id
             )
             SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM agg
+        """,
+        "simhash_near_pairs": f"""
+            WITH wc AS (
+                SELECT doc_id, w, count(*) AS cnt FROM (
+                    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents) t
+                WHERE w <> '' GROUP BY doc_id, w
+            ), wh AS (
+                SELECT doc_id, cnt, {simhash_h} AS h FROM wc
+            ), agg AS (
+                SELECT doc_id, {bit_sums} FROM wh GROUP BY doc_id
+            ), sims AS (
+                SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM agg
+            ), bands AS (
+                SELECT doc_id, simhash, band_id,
+                       (simhash >> (band_id * 4)) & 15 AS band_val
+                FROM sims, (SELECT unnest(range(4)) AS band_id) b
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+            FROM bands x JOIN bands y
+              ON x.band_id = y.band_id AND x.band_val = y.band_val
+             AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         """,
         "doc_fingerprint": f"""
             WITH sh AS (

@@ -73,7 +73,7 @@ BENCH_QUERIES = [
     "quality", "lang_id", "doc_fingerprint", "pricing_summary",
     "revenue_by_nation", "top_orders_per_customer", "event_sessions",
     "connected_components", "etl_stl_triples", "mentions_trie",
-    "neural_ner",
+    "neural_ner", "near_dup_lsh_fast",
 ]
 
 

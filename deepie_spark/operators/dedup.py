@@ -411,6 +411,69 @@ def simhash(
     return agg.select(F.col("id").alias(id_col), sim.alias("simhash"))
 
 
+def simhash_near_pairs(
+    sim: DataFrame,
+    n_bits: int = 16,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs within a Hamming ball: the classic SimHash
+    pigeonhole scheme (Manku et al., WWW'07 — public).  Split the
+    fingerprint into ``max_hamming + 1`` bands; any pair differing in
+    <= max_hamming bits must agree EXACTLY on at least one band, so a
+    band-equality self-join generates all candidates and a
+    ``bit_count(xor)`` filter verifies — no all-pairs join.  Output
+    (a, b, hamming).
+
+    Same hot-band cap stance as the MinHash/ANN joins: ``max_bucket``
+    drops degenerate band buckets (thousands of identical fingerprints)
+    before the self-join."""
+    k = max_hamming + 1
+    assert n_bits % k == 0, (n_bits, k)
+    band_bits = n_bits // k
+    mask = (1 << band_bits) - 1
+    ex = sim.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("band_id"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, band_id * {band_bits})").bitwiseAND(
+            F.lit(mask)
+        ),
+    )
+    if max_bucket is not None:
+        sizes = ex.groupBy("band_id", "band_val").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        ex = (
+            ex.join(sizes, ["band_id", "band_val"])
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = ex.select(
+        F.col("id").alias("a"), F.col("simhash").alias("_sa"),
+        "band_id", "band_val",
+    )
+    b = ex.select(
+        F.col("id").alias("b"), F.col("simhash").alias("_sb"),
+        "band_id", "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(
+                F.col("_sa").bitwiseXOR(F.col("_sb"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_dup_groups(sim: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact-simhash buckets with >1 member (near-dup groups)."""
     return (

@@ -276,3 +276,40 @@ def test_jaccard_hot_gram_stays_linear_in_candidates(spark):
         want = len(ga & gb) / len(ga | gb)
         assert abs(got[(a, b)] - want) < 1e-12
     assert len(got) == 3  # nothing outside the candidate set
+
+
+def test_simhash_near_pairs_complete_vs_brute(spark):
+    """Pigeonhole completeness: EVERY pair within hamming <= 3 of the
+    16-bit simhash must be found (a pair differing in <= 3 bits leaves
+    at least one of the 4 bands untouched), and nothing outside the
+    ball is reported."""
+    rng = __import__("random").Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    sim = D.simhash(docs, n_bits=16)
+    sims = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in D.simhash_near_pairs(sim, n_bits=16, max_hamming=3).collect()
+    }
+    want = {}
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+
+
+def test_simhash_near_pairs_hot_band_cap(spark):
+    """Degenerate corpora (hundreds of identical fingerprints) pile
+    into every band bucket; the cap bounds the self-join output."""
+    rows = [(i, "identical words all the way down") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sim = D.simhash(docs)
+    capped = D.simhash_near_pairs(sim, max_bucket=50).count()
+    assert capped == 0  # every band bucket holds 300 > 50 -> dropped

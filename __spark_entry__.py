@@ -309,6 +309,33 @@ def q_ann_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(5)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): md5-ordered
+    deterministic sample -> per-subspace seeded k-means codebooks ->
+    Arrow-batched encode -> asymmetric-distance top-5 against vec 0.
+    Hash-checked against the python twin running the identical numpy
+    recipe (codebooks, codes, LUT distances are all bit-matched)."""
+    _ensure(spark)
+    from deepie_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    e = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(e.select("embedding").first()["embedding"])
+    books = pq_train_codebooks(e, dim=dim, m=8, k=16, iters=3, sample=512)
+    query = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    codes = pq_encode(e, books)
+    top = pq_adc_topk(codes, books, query, topk=5)
+    return top.select(
+        "vec_id",
+        F.round(F.col("dist2") * 1e6).cast("bigint").alias("dist2_e6"),
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN chain driver row: deterministic mini-kmeans training
     (Lloyd steps as DataFrame jobs) -> centroid assignment -> probe
@@ -1183,6 +1210,68 @@ def _expected_near_dup_lsh_fast(sf_dir):
     )
 
 
+def _expected_ann_pq(sf_dir):
+    """Python twin of the PQ chain — identical numpy recipe end to end
+    (md5-ordered sample, per-subspace k-means, broadcast-subtract
+    encode, LUT distances), so codes and distances are bit-exact."""
+    import decimal
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    rows_in = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows_in]
+    V = np.array([[float(x) for x in r[1]] for r in rows_in], dtype=np.float64)
+    dim = V.shape[1]
+    m, k, iters, sample = 8, 16, 3, 512
+    dsub = dim // m
+
+    order = duckdb.sql(
+        f"SELECT vec_id FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY md5(vec_id::VARCHAR) LIMIT {sample}"
+    ).fetchall()
+    idx = {v: i for i, v in enumerate(ids)}
+    X = V[[idx[int(r[0])] for r in order]]
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for sub in range(m):
+        S = X[:, sub * dsub : (sub + 1) * dsub]
+        cents = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = S[mask].mean(axis=0)
+        books[sub] = cents
+
+    q = V[idx[0]].reshape(m, 1, dsub)
+    lut = ((q - books) ** 2).sum(axis=2)
+    rows_m = np.arange(m)
+    scored = []
+    for vid, v in zip(ids, V):
+        x = v.reshape(m, 1, dsub)
+        codes = (((x - books) ** 2).sum(axis=2)).argmin(axis=1)
+        scored.append((float(lut[rows_m, codes].sum()), vid))
+    scored.sort()
+    rows = []
+    for dist2, vid in scored[:5]:
+        e6 = int(
+            decimal.Decimal(repr(dist2 * 1e6)).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        rows.append({"vec_id": vid, "dist2_e6": e6})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("vec_id", pa.int64()), ("dist2_e6", pa.int64())]),
+    )
+
+
 def _expected_dedup_clusters(sf_dir):
     """Python twin of the full dedup chain: fast signatures -> band
     buckets (cap 256) -> candidate pairs -> 2-gram Jaccard >= 0.8 ->
@@ -1334,6 +1423,7 @@ _FIXTURE_BUILDERS = {
     "word_alignment": _expected_word_alignment,
     "near_dup_lsh": _expected_near_dup_lsh,
     "near_dup_lsh_fast": _expected_near_dup_lsh_fast,
+    "ann_pq": _expected_ann_pq,
     "lsh_pairs_fast": _expected_lsh_pairs_fast,
 }
 
@@ -1374,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "near_dup_brute": q_near_dup_brute,
         "near_dup_lsh": q_near_dup_lsh,
         "near_dup_lsh_fast": q_near_dup_lsh_fast,
@@ -1474,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": fx("dedup_clusters"),
         "near_dup_lsh": fx("near_dup_lsh"),
         "near_dup_lsh_fast": fx("near_dup_lsh_fast"),
+        "ann_pq": fx("ann_pq"),
         "lsh_pairs_fast": fx("lsh_pairs_fast"),
         "clean_text": """
             SELECT doc_id,

@@ -374,3 +374,121 @@ def lsh_ann_pairs(
         .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("score"))
         .where(F.col("score") >= threshold)
     )
+
+
+# ---- product quantization (Jegou et al. 2011, public) ---------------------
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train PQ codebooks on a deterministic sample: split the vector
+    into ``m`` subvectors and run a small seeded k-means per subspace.
+
+    Classic product quantization (Jegou, Douze, Schmid: "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public):
+    at 10^9+ vectors the float embeddings don't fit executor memory,
+    but m log2(k)-bit codes do (64 float32 dims -> 8 bytes at m=8,
+    k=256; 32x compression).  Training on a bounded sample is the
+    standard recipe; the driver holds only the [m, k, dim/m] codebook
+    tensor.  Sampling, init, and iteration are all deterministic
+    (xxhash row order, numpy argmin ties to the lowest index)."""
+    import numpy as np
+
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    # md5-of-id sample order: computable identically in Spark, DuckDB,
+    # and the python twin (xxhash64 would be Spark-only)
+    rows = (
+        embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r["v"]] for r in rows], dtype=np.float64)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for sub in range(m):
+        S = X[:, sub * dsub : (sub + 1) * dsub]
+        cents = S[: k].copy()  # deterministic init: first k sample rows
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = S[mask].mean(axis=0)
+        books[sub] = cents
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): nearest codebook entry per subspace —
+    one Arrow-batched numpy pass, broadcast-multiply distances (no
+    gemm, so results are batch-shape independent and twin-exact)."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)  # [m, k, dsub]
+    m, k, dsub = books.shape
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            codes = []
+            for v in pdf[vec_col]:
+                x = np.asarray(v, dtype=np.float64).reshape(m, 1, dsub)
+                d2 = ((x - books) ** 2).sum(axis=2)  # [m, k]
+                codes.append(d2.argmin(axis=1).astype(np.int32).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": codes})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} bigint, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks,
+    query: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query builds an [m, k] lookup
+    table of subspace distances once; each coded vector's approximate
+    L2 distance is m table lookups + a sum (no float vectors touched).
+    Returns (id, dist2) ascending via TakeOrdered."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64).reshape(m, 1, dsub)
+    lut = ((q - books) ** 2).sum(axis=2)  # [m, k]
+
+    def kernel(it):
+        import pandas as pd
+
+        rows_m = np.arange(m)
+        for pdf in it:
+            dists = [
+                float(lut[rows_m, np.asarray(c, dtype=np.int64)].sum())
+                for c in pdf["codes"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "dist2": dists})
+
+    scored = codes_df.mapInPandas(kernel, f"{id_col} bigint, dist2 double")
+    return scored.orderBy(F.asc("dist2"), F.asc(id_col)).limit(topk)

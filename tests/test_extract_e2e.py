@@ -100,3 +100,38 @@ def test_null_and_garbage_texts_flow_not_crash(spark, extractor):
     assert extract_triples_fused(df, bc).count() == 0  # no planted entities
     assert AttributeExtractor().extract_record_py(None) == []
     assert extractor.extract_page_py(None) == []
+
+
+def test_fused_dedup_equals_plain_on_duplicated_corpus(spark, extractor):
+    """extract_triples_fused_dedup must produce EXACTLY the plain fused
+    output on a corpus where many urls share byte-identical text (the
+    boilerplate-duplicate regime it optimizes for)."""
+    import json
+
+    from deepie_spark.operators.extract import (
+        extract_triples_fused,
+        extract_triples_fused_dedup,
+    )
+    from deepie_spark.sources.synth import gen_corpus
+
+    pages, _, _ = gen_corpus(40)
+    rows = [(p["url"], p["lang"], p["text"]) for p in pages]
+    # replicate each text under 3 extra urls (boilerplate dups)
+    rows += [
+        (f"{p['url']}#copy{i}", p["lang"], p["text"])
+        for p in pages[:20]
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string, text string")
+    bc = spark.sparkContext.broadcast(extractor)
+
+    def canon(out):
+        return sorted(
+            (r["url"], r["subject"], r["predicate"],
+             json.dumps(dict(r["object"]), sort_keys=True))
+            for r in out.collect()
+        )
+
+    assert canon(extract_triples_fused_dedup(df, bc)) == canon(
+        extract_triples_fused(df, bc)
+    )

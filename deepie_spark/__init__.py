@@ -20,6 +20,7 @@ _EXPORTS = {
     "KgPipeline": "deepie_spark.plans.pipeline",
     "PageExtractor": "deepie_spark.operators.extract",
     "extract_triples_fused": "deepie_spark.operators.extract",
+    "extract_triples_fused_dedup": "deepie_spark.operators.extract",
     "extract_triples_staged": "deepie_spark.operators.extract",
     "StlExtractor": "deepie_spark.operators.etl_stl",
     "detect_mentions": "deepie_spark.operators.linking",

@@ -298,10 +298,10 @@ class RelativeAttentionEncoder(TinyTransformerEncoder):
     offset-aware: shifting a sequence leaves pairwise attention
     unchanged."""
 
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
+    def __init__(self, vocab: dict[str, int], seed: int = 20260816, **kwargs):
+        super().__init__(vocab, seed=seed, **kwargs)
         dh = self.d_model // self.n_heads
-        rng = np.random.default_rng(kwargs.get("seed", 20260816) + 101)
+        rng = np.random.default_rng(seed + 101)
         for lay in self.layers:
             lay["u"] = (rng.standard_normal((self.n_heads, dh), dtype=np.float32)
                         * np.float32(0.1))

@@ -106,10 +106,13 @@ def _latest_round(spark, state_dir: str) -> int:
         return -1
     best = -1
     for name in os.listdir(state_dir):
-        if name.startswith("round_") and os.path.exists(
-            os.path.join(state_dir, name, "_SUCCESS")
+        suffix = name.removeprefix("round_")
+        if (
+            name.startswith("round_")
+            and suffix.isdigit()
+            and os.path.exists(os.path.join(state_dir, name, "_SUCCESS"))
         ):
-            best = max(best, int(name.split("_")[1]))
+            best = max(best, int(suffix))
     return best
 
 

@@ -20,9 +20,11 @@ SUBSET = [
     "per_source_detail", "salted_source_counts", "pricing_summary",
     "revenue_by_nation", "top_orders_per_customer", "event_sessions",
     "ner_spans", "doc_fingerprint", "simhash",
+    "simhash_near_pairs",
     # fixture-backed (single-row python oracle materialized to parquet)
     "flagship_triples", "etl_stl_triples", "mentions_trie", "attributes",
-    "minhash_fast",
+    "minhash_fast", "encoder_grids", "neural_ner", "ann_pq",
+    "near_dup_lsh_fast",
 ]
 
 

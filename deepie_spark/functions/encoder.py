@@ -106,6 +106,9 @@ class TinyTransformerEncoder:
         # Width beyond this only burns headline throughput (the flagship
         # kernel runs once per page on every page of the corpus).
         assert d_model % n_heads == 0
+        # vocab ids index the embedding table directly; OOV tokens hash
+        # into the remaining high rows, which must exist
+        assert len(vocab) < BERT_VOCAB_SIZE, len(vocab)
         self.d_emb, self.d_model = d_emb, d_model
         self.n_layers, self.n_heads, self.d_ff = n_layers, n_heads, d_ff
         self.max_len = max_len

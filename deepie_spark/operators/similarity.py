@@ -492,3 +492,37 @@ def pq_adc_topk(
 
     scored = codes_df.mapInPandas(kernel, f"{id_col} bigint, dist2 double")
     return scored.orderBy(F.asc("dist2"), F.asc(id_col)).limit(topk)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks,
+    query: list[float],
+    topk: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse probe prunes cells, PQ asymmetric distance ranks
+    inside them — the standard billion-scale ANN index composition
+    (coarse quantizer + product codes, Jegou et al. 2011 §IV).  At
+    scale the table is clustered by centroid_id with codes precomputed,
+    so non-probed cells never leave the scan and ranking touches only
+    m-int codes, never float vectors."""
+    import math
+
+    def cos_py(a, b):
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb + 1e-12)
+
+    probes = sorted(
+        range(len(centroids)), key=lambda i: -cos_py(centroids[i], query)
+    )[:n_probe]
+    cand = ivf_assign(embeddings, centroids, id_col, vec_col).where(
+        F.col("centroid_id").isin(probes)
+    )
+    codes = pq_encode(cand, codebooks, id_col=id_col, vec_col=vec_col)
+    return pq_adc_topk(codes, codebooks, query, topk=topk, id_col=id_col)

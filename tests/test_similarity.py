@@ -205,3 +205,30 @@ def test_pq_recall_and_batch_invariance(spark):
     # codes really are m small ints (the 16x memory story)
     one = S.pq_encode(df, books).first()
     assert len(one["codes"]) == 8 and all(0 <= c < 16 for c in one["codes"])
+
+
+def test_ivf_pq_composition(spark):
+    """IVF-PQ: probing all cells must equal plain PQ over everything
+    (the pruning is exact at full probe), and partial probe keeps most
+    of the true neighborhood while scanning fewer rows."""
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(4, 32)) * 4
+    rows = [
+        (i, (centers[i % 4] + rng.normal(scale=0.4, size=32)).tolist())
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = S.ivf_train_centroids(df, k=4, iters=2)
+    books = S.pq_train_codebooks(df, dim=32, m=8, k=16, iters=2, sample=160)
+    q = rows[0][1]
+
+    full = [r["vec_id"] for r in S.ivf_pq_topk(
+        df, cents, books, q, topk=10, n_probe=4).collect()]
+    plain = [r["vec_id"] for r in S.pq_adc_topk(
+        S.pq_encode(df, books), books, q, topk=10).collect()]
+    assert full == plain  # full probe == no pruning
+
+    one = [r["vec_id"] for r in S.ivf_pq_topk(
+        df, cents, books, q, topk=10, n_probe=1).collect()]
+    # the query's own cell holds its cluster: most of the top-10 survives
+    assert len(set(one) & set(plain)) >= 6

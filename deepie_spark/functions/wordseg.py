@@ -127,7 +127,46 @@ def _cut_dag_no_hmm(
         yield buf
 
 
-def mp_segment(text: str, freq: dict[str, int], total: int | None = None) -> list[str]:
+def prepare_freq(freq: dict[str, int]) -> tuple[set[str], float]:
+    """One-time derivation of the DAG segmenter's lookup state from a
+    frequency dict: the prefix set (every prefix of every word, jieba's
+    prefix-dict trick) and log(total frequency).
+
+    O(total dict chars) — with a realistic jieba-sized dict (~350k
+    words) this is FAR too expensive to rebuild per call, let alone per
+    row inside an Arrow kernel.  Call it once per kernel invocation /
+    broadcast value and pass the result to :func:`mp_segment` via
+    ``prepared``; ``mp_segment`` also memoizes the last few freq dicts
+    by identity as a safety net for callers that don't hoist."""
+    total = sum(freq.values()) or 1
+    prefixes = {w[:k] for w in freq for k in range(1, len(w) + 1)}
+    return prefixes, math.log(total)
+
+
+# identity-keyed memo (freq dicts are broadcast values: few, long-lived,
+# never mutated).  Entries hold a strong ref to the keyed dict so a
+# recycled id() can never alias a different object.
+_PREPARED_CACHE: dict[int, tuple[dict[str, int], set[str], float]] = {}
+_PREPARED_CACHE_MAX = 8
+
+
+def _prepared_for(freq: dict[str, int]) -> tuple[set[str], float]:
+    hit = _PREPARED_CACHE.get(id(freq))
+    if hit is not None and hit[0] is freq:
+        return hit[1], hit[2]
+    prefixes, logtotal = prepare_freq(freq)
+    if len(_PREPARED_CACHE) >= _PREPARED_CACHE_MAX:
+        _PREPARED_CACHE.clear()
+    _PREPARED_CACHE[id(freq)] = (freq, prefixes, logtotal)
+    return prefixes, logtotal
+
+
+def mp_segment(
+    text: str,
+    freq: dict[str, int],
+    total: int | None = None,
+    prepared: tuple[set[str], float] | None = None,
+) -> list[str]:
     """jieba-equivalent segmentation (``jieba.cut(text, HMM=False)``
     semantics) over a caller-supplied frequency dict: han/latin blocks
     route through the max-probability DAG, other spans split on
@@ -138,9 +177,15 @@ def mp_segment(text: str, freq: dict[str, int], total: int | None = None) -> lis
     installed).  Concatenation-preserving for every input."""
     if not text:
         return []
-    total = total if total is not None else (sum(freq.values()) or 1)
-    logtotal = math.log(total)
-    prefixes = {w[:k] for w in freq for k in range(1, len(w) + 1)}
+    if prepared is not None:
+        prefixes, logtotal = prepared
+        if total is not None:
+            logtotal = math.log(total)
+    elif total is not None:
+        prefixes, _ = _prepared_for(freq)
+        logtotal = math.log(total)
+    else:
+        prefixes, logtotal = _prepared_for(freq)
     out: list[str] = []
     for blk in _RE_HAN.split(text):
         if not blk:
@@ -162,14 +207,16 @@ def segment(
     text: str,
     lexicon: set[str] | None = None,
     freq: dict[str, int] | None = None,
+    prepared: tuple[set[str], float] | None = None,
 ) -> list[str]:
     """jieba.lcut when available (data_loader.py:107); else the
-    jieba-algorithm ``mp_segment`` when word frequencies are supplied;
+    jieba-algorithm ``mp_segment`` when word frequencies are supplied
+    (hoist ``prepared=prepare_freq(freq)`` out of per-row loops);
     else FMM over the bare lexicon."""
     if _jieba is not None:
         return _jieba.lcut(text)
     if freq is not None:
-        return mp_segment(text, freq)
+        return mp_segment(text, freq, prepared=prepared)
     return fmm_segment(text, lexicon or set())
 
 
@@ -201,11 +248,15 @@ def align_word_features(
         lex: set[str] = lexicon_bc.value
         w2i: dict[str, int] = word2idx_bc.value
         freq: dict[str, int] | None = freq_bc.value if freq_bc is not None else None
+        # hoisted out of the row loop: building the prefix set + total
+        # is O(|dict|) — per-kernel, never per-row (with a jieba-scale
+        # ~350k-word dict the per-row form would dominate the kernel)
+        prepared = prepare_freq(freq) if freq is not None else None
         for pdf in it:
             ids, n_chars, wids = [], [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 t = (text or "").lower().replace(" ", "")  # DuIE-1.0 norm
-                words = segment(t, lex, freq=freq)
+                words = segment(t, lex, freq=freq, prepared=prepared)
                 ids.append(rid)
                 n_chars.append(len(t))
                 wids.append(char_word_ids(t, words, w2i))

@@ -116,6 +116,47 @@ def _latest_round(spark, state_dir: str) -> int:
     return best
 
 
+def _read_input_fp(state_dir: str) -> tuple[int, int] | None:
+    """The input-edge fingerprint recorded when round 0 was written
+    (local filesystem, like ``_latest_round``; swap for the Hadoop
+    FileSystem API on HDFS/S3)."""
+    import json
+    import os
+
+    p = os.path.join(state_dir, "_input_fingerprint.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    return int(d["n"]), int(d["h"])
+
+
+def _write_input_fp(state_dir: str, fp: tuple[int, int]) -> None:
+    import json
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = os.path.join(state_dir, "_input_fingerprint.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n": fp[0], "h": fp[1]}, f)
+    os.replace(tmp, os.path.join(state_dir, "_input_fingerprint.json"))
+
+
+def _clear_rounds(state_dir: str) -> None:
+    import os
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return
+    for name in os.listdir(state_dir):
+        if name.startswith("round_"):
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+    try:
+        os.remove(os.path.join(state_dir, "_input_fingerprint.json"))
+    except FileNotFoundError:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
@@ -141,6 +182,10 @@ def connected_components(
       read back — survives full DRIVER loss: a rerun with the same
       ``state_dir`` resumes from the last completed round instead of
       restarting (kill-one-round test in test_canonicalize.py).
+      Resume is input-guarded: round 0 records a fingerprint of the
+      canonicalized input edges, and a rerun whose edges changed (same
+      state_dir, new graph) wipes the snapshots and restarts instead
+      of silently resuming the old graph.
       Takes precedence over ``checkpoint_dir``.
 
     All three modes produce identical components (tested)."""
@@ -157,14 +202,33 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    start = 0
-    if state_dir is not None and (last := _latest_round(spark, state_dir)) >= 0:
+    last = _latest_round(spark, state_dir) if state_dir is not None else -1
+    if last >= 0:
+        # resume keys on the INPUT, not just the directory: a rerun
+        # that reuses state_dir after the upstream edge set changed
+        # must restart, or it silently resumes round snapshots of the
+        # OLD graph and emits components for edges that no longer
+        # exist.  Round 0 records _fingerprint(canonicalized input);
+        # a resume recomputes it (one aggregation over the input — the
+        # price of not trusting the directory name) and restarts on
+        # mismatch or when no fingerprint was recorded.
+        stored = _read_input_fp(state_dir)
+        if stored is None or stored != _fingerprint(_canon_edges(edges)):
+            _clear_rounds(state_dir)
+            last = -1
+    if last >= 0:
         e = spark.read.parquet(f"{state_dir}/round_{last:04d}")
         start = last + 1
+        prev = _fingerprint(e)
     else:
         e = cut(_canon_edges(edges), 0)
         start = 1
-    prev = _fingerprint(e)
+        # fingerprint of the cut == fingerprint of the canonical input
+        # (same rows, order-independent sum), so the fresh path records
+        # the input fingerprint with zero extra jobs
+        prev = _fingerprint(e)
+        if state_dir is not None:
+            _write_input_fp(state_dir, prev)
     for rnd in range(start, start + max_iter):
         e = cut(_canon_edges(_small_star(_large_star(e))), rnd)
         cur = _fingerprint(e)

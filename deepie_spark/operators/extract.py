@@ -169,13 +169,24 @@ def extract_triples_fused_dedup(pages_df, extractor_bc, text_col: str = "text"):
     duplicate rate is substantial; for near-unique corpora use plain
     ``extract_triples_fused`` (zero shuffles).  Output rows equal the
     plain fused path exactly (tested) — extraction is a pure function
-    of the text."""
+    of the text.
+
+    The dedup groups on ``md5(text)`` and keeps ``first(text)``, NOT
+    ``distinct()`` over the raw text: distinct hash-partitions and
+    compares on the full text bytes, while grouping on the 16-byte
+    digest moves the text payload through exactly ONE exchange keyed
+    by a fixed-width hash (plan-tested).  An md5 collision would drop
+    a distinct text; at 10^12 docs the birthday bound against 2^128
+    makes that ~10^-15 — acceptable for extraction skipping (and the
+    same stance ``exact_dedup`` takes)."""
     from pyspark.sql import functions as F
 
     uniq = (
-        pages_df.select(F.col(text_col))
-        .distinct()
-        .select(F.md5(F.col(text_col)).alias("url"), F.col(text_col))
+        pages_df.select(
+            F.md5(F.col(text_col)).alias("url"), F.col(text_col)
+        )
+        .groupBy("url")
+        .agg(F.first(text_col).alias(text_col))
     )
     per_text = extract_triples_fused(uniq, extractor_bc, text_col=text_col)
     keyed = pages_df.select(
@@ -258,8 +269,26 @@ def stage_subjects(tokens_df, extractor_bc):
     return tokens_df.mapInPandas(kernel, SUBJECTS_DDL)
 
 
-def stage_po(subjects_df, extractor_bc):
-    """subjects -> decoded (url, s-span, o-span, predicate_id) rows."""
+def stage_po(subjects_df, extractor_bc, scan_counter=None, presort: bool = True):
+    """subjects -> decoded (url, s-span, o-span, predicate_id) rows.
+
+    The kernel memoizes the page-level scan (tokenize + transformer
+    forward) across a page's subject rows, so the fan-out costs one
+    forward per PAGE, not per subject.  The memo keys on adjacency,
+    which the direct ``stage_subjects`` output guarantees (fan-out
+    order) but an intervening repartition silently would not — so by
+    default the input is ``sortWithinPartitions(url)`` first: a
+    partition-LOCAL sort (no exchange; SortExec without a shuffle,
+    plan-tested) that restores adjacency within every partition no
+    matter how rows were scattered.  Degradation bound after an
+    arbitrary repartition: one scan per (partition, url) pair — at
+    worst min(n_partitions, n_subjects) per page, never one per
+    subject row (tested in test_extract_e2e).  ``scan_counter``: an
+    optional Spark accumulator incremented once per actual scan, used
+    by tests to pin that bound."""
+
+    if presort:
+        subjects_df = subjects_df.sortWithinPartitions("url")
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ex: PageExtractor = extractor_bc.value
@@ -271,7 +300,8 @@ def stage_po(subjects_df, extractor_bc):
             for r in pdf.itertuples(index=False):
                 tokens = list(r.tokens)
                 n = len(tokens) + 2
-                # subjects of one page arrive adjacent (fan-out order):
+                # subjects of one page arrive adjacent (fan-out order,
+                # re-established per partition by the local sort):
                 # memoize the page-level scan across them
                 if r.url == last_url:
                     scan = last_scan
@@ -280,6 +310,8 @@ def stage_po(subjects_df, extractor_bc):
                         r.context, tokens, list(r.tok_start), list(r.tok_end)
                     )
                     last_url, last_scan = r.url, scan
+                    if scan_counter is not None:
+                        scan_counter.add(1)
                 po_grid = ex.model.po_grid(scan, (r.s1, r.s2), n)
                 po = decode_po(po_grid, n)
                 if not po:

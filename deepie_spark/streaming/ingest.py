@@ -136,11 +136,19 @@ def streaming_dedup_candidates(
 
     def update(key, pdfs, state: GroupState):
         members = list(state.get[0]) if state.exists else []
+        seen = set(members)
         out_a: list[int] = []
         out_b: list[int] = []
         for pdf in pdfs:
             for d in pdf["doc_id"]:
                 d = int(d)
+                if d in seen:
+                    # re-crawled url / replayed micro-batch: the doc is
+                    # already a bucket member — re-pairing it would emit
+                    # a degenerate (d, d) self-pair (breaking the a < b
+                    # invariant the batch path guarantees) and appending
+                    # again would double-count every future pair
+                    continue
                 if len(members) >= max_bucket:
                     continue  # capped bucket: no pairs, no state growth
                 for m in members:
@@ -148,6 +156,7 @@ def streaming_dedup_candidates(
                     out_a.append(a)
                     out_b.append(b)
                 members.append(d)
+                seen.add(d)
         state.update((members,))
         yield pd.DataFrame(
             {

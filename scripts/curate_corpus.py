@@ -35,28 +35,50 @@ def curate(spark, args) -> dict:
     docs = spark.read.parquet(args.input)
     id_col, text_col = args.id_col, args.text_col
 
+    reserved = {"_curate_lang", "_curate_quality", "_curate_keep",
+                "_lang_ok", "_quality_ok", "_dedup_ok", "_keep"}
+    if bad := reserved & set(docs.columns):
+        raise ValueError(
+            f"input columns {sorted(bad)} collide with curate's reserved "
+            f"working names; rename them before curation"
+        )
+
     keep = F.lit(True)
     flags = []
     frame = docs
+    # operator outputs are aliased to reserved _-prefixed names BEFORE
+    # joining: a documents table that already carries a column named
+    # lang_pred / quality / keep would otherwise make the join emit a
+    # duplicate column and F.col(...) below raise an ambiguous-reference
+    # AnalysisException (or silently read the wrong side)
     if args.langs:
         langs = [x.strip() for x in args.langs.split(",") if x.strip()]
-        frame = frame.join(lang_id(docs, text_col, id_col), id_col)
-        flags.append(F.col("lang_pred").isin(langs).alias("_lang_ok"))
+        lp = lang_id(docs, text_col, id_col).select(
+            id_col, F.col("lang_pred").alias("_curate_lang")
+        )
+        frame = frame.join(lp, id_col)
+        flags.append(F.col("_curate_lang").isin(langs).alias("_lang_ok"))
     if args.min_quality > 0:
-        q = quality_score(docs, text_col, id_col).select(id_col, "quality")
+        q = quality_score(docs, text_col, id_col).select(
+            id_col, F.col("quality").alias("_curate_quality")
+        )
         frame = frame.join(q, id_col)
-        flags.append((F.col("quality") >= args.min_quality).alias("_quality_ok"))
+        flags.append(
+            (F.col("_curate_quality") >= args.min_quality).alias("_quality_ok")
+        )
     if args.dedup == "exact":
-        d = exact_dedup(docs, text_col, id_col).select(id_col, "keep")
+        d = exact_dedup(docs, text_col, id_col).select(
+            id_col, F.col("keep").alias("_curate_keep")
+        )
         frame = frame.join(d, id_col)
-        flags.append(F.col("keep").alias("_dedup_ok"))
+        flags.append(F.col("_curate_keep").alias("_dedup_ok"))
     elif args.dedup == "cluster":
         d = dedup_clusters(
             docs, text_col=text_col, id_col=id_col,
             verify_threshold=args.verify_threshold,
-        ).select(id_col, "keep")
+        ).select(id_col, F.col("keep").alias("_curate_keep"))
         frame = frame.join(d, id_col)
-        flags.append(F.col("keep").alias("_dedup_ok"))
+        flags.append(F.col("_curate_keep").alias("_dedup_ok"))
 
     flagged = frame.select(*docs.columns, *flags)
     flag_names = [f"_{n}" for n in ("lang_ok", "quality_ok", "dedup_ok")

@@ -129,3 +129,40 @@ def test_cc_kill_one_round_resume(spark, tmp_path):
     assert len(rounds_after) > len(rounds_before)
     assert os.path.getmtime(os.path.join(state, "round_0001", "_SUCCESS")) == mtime_before
     assert got == _cc_oracle(edges)
+
+
+def test_cc_state_dir_rejects_stale_snapshots(spark, tmp_path):
+    """Reusing a state_dir after the upstream edge set changed must NOT
+    resume the old graph's round snapshots: round 0 records an input
+    fingerprint, and a rerun with different edges wipes the stale
+    rounds and recomputes components for the NEW graph."""
+    import os
+
+    state = str(tmp_path / "cc_state_stale")
+    edges_a = [(1, 2), (2, 3), (10, 11)]
+    df_a = spark.createDataFrame(edges_a, "src bigint, dst bigint")
+    connected_components(df_a, state_dir=state).collect()
+    assert os.path.exists(os.path.join(state, "_input_fingerprint.json"))
+
+    # upstream changed: 3 now links to 10, merging the two clusters
+    edges_b = [(1, 2), (2, 3), (3, 10), (10, 11)]
+    df_b = spark.createDataFrame(edges_b, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df_b, state_dir=state).collect()
+    }
+    assert got == _cc_oracle(edges_b)  # NOT the stale two-cluster answer
+    assert len(set(got.values())) == 1
+
+    # same input again: resumes (round snapshots survive untouched)
+    rounds = sorted(d for d in os.listdir(state) if d.startswith("round_"))
+    mtimes = {
+        d: os.path.getmtime(os.path.join(state, d, "_SUCCESS")) for d in rounds
+    }
+    got2 = {
+        r["node"]: r["component"]
+        for r in connected_components(df_b, state_dir=state).collect()
+    }
+    assert got2 == got
+    for d in rounds:
+        assert os.path.getmtime(os.path.join(state, d, "_SUCCESS")) == mtimes[d]

@@ -73,3 +73,43 @@ def test_curate_cli_main(spark, docs_path, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["n_in"] == report["n_out"] == 6
     assert spark.read.parquet(out).count() == 6
+
+
+def test_curate_user_columns_named_like_operator_outputs(spark, tmp_path):
+    """A documents table that already carries columns named lang_pred /
+    quality / keep must curate cleanly (operator outputs are aliased to
+    reserved _curate_* names before joining) and pass the user columns
+    through to the output untouched."""
+    from scripts.curate_corpus import curate
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8, "x", 9.9, False),
+        (2, "@@@@ ##### !!!! ??? ::::", "y", -1.0, True),
+    ]
+    src = tmp_path / "docs_collide"
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang_pred string, quality double, keep boolean"
+    ).write.parquet(str(src))
+    out = str(tmp_path / "curated_collide")
+    report = curate(
+        spark,
+        _Args(input=str(src), output=out, langs="en",
+              min_quality=0.3, dedup="exact"),
+    )
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert report["n_in"] == 2 and set(got) == {1}
+    # the user's like-named columns survive verbatim
+    assert got[1]["lang_pred"] == "x"
+    assert got[1]["quality"] == 9.9
+    assert got[1]["keep"] is False
+
+
+def test_curate_reserved_names_raise(spark, tmp_path):
+    from scripts.curate_corpus import curate
+
+    src = tmp_path / "docs_reserved"
+    spark.createDataFrame(
+        [(1, "text", True)], "doc_id bigint, text string, _keep boolean"
+    ).write.parquet(str(src))
+    with pytest.raises(ValueError, match="reserved"):
+        curate(spark, _Args(input=str(src), output=str(tmp_path / "o")))

@@ -160,3 +160,47 @@ def test_streaming_dedup_hot_bucket_cap_bounds_state(spark, tmp_path):
     n = spark.sql("select count(*) n from hotdedup").first()["n"]
     # per band at most cap*(cap-1)/2 pairs; 4 bands -> bounded, not 300^2/2
     assert 0 < n <= 4 * cap * (cap - 1) // 2
+
+
+def test_streaming_dedup_replayed_doc_idempotent(spark, tmp_path):
+    """A doc_id that reappears (re-crawled URL / replayed micro-batch)
+    must not pair against its own earlier bucket entry — no degenerate
+    (d, d) self-pair, the a < b invariant holds — and must not be
+    appended to state twice (which would double-count every future
+    pair: a later doc would emit duplicate (a, b) rows WITHIN one
+    band)."""
+    from deepie_spark.streaming.ingest import streaming_dedup_candidates
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    schema = "doc_id bigint, text string"
+    src = tmp_path / "replay_stream"
+    batches = [
+        [(100, base)],
+        [(100, base), (200, base + "tail")],  # 100 replayed
+        [(300, base + " coda")],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_dedup_candidates(stream, n_hashes=16, n_bands=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("replaydedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select a, b, band_id from replaydedup").collect()
+    assert all(r["a"] < r["b"] for r in rows)  # no (d, d) self-pairs
+    pairs = {(r["a"], r["b"]) for r in rows}
+    assert (100, 200) in pairs and (100, 300) in pairs
+    # single state entry per doc: (a, b) unique within each band
+    keys = [(r["a"], r["b"], r["band_id"]) for r in rows]
+    assert len(keys) == len(set(keys))

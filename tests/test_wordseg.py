@@ -209,3 +209,32 @@ def test_segment_real_jieba_concat_invariant():
     text = "今天天气很好we test 123"
     words = wordseg.segment(text)
     assert "".join(words) == text
+
+
+def test_prepare_freq_hoisted_not_per_call(monkeypatch):
+    """mp_segment must not rebuild the O(|dict|) prefix set per call:
+    the identity-keyed memo makes repeated calls over one freq dict pay
+    for preparation exactly once, and an explicitly prepared state is
+    used as-is (zero prepare calls)."""
+    calls = {"n": 0}
+    real = W.prepare_freq
+
+    def counting(freq):
+        calls["n"] += 1
+        return real(freq)
+
+    monkeypatch.setattr(W, "prepare_freq", counting)
+    W._PREPARED_CACHE.clear()
+    f = dict(FREQ)
+    want = W.mp_segment("中国人spark", f)
+    assert calls["n"] == 1
+    for _ in range(5):
+        assert W.mp_segment("中国人spark", f) == want
+    assert calls["n"] == 1  # memo hit: no rebuilds
+
+    prepared = real(f)
+    W._PREPARED_CACHE.clear()
+    calls["n"] = 0
+    assert W.mp_segment("中国人spark", f, prepared=prepared) == want
+    assert W.segment("中国人spark", freq=f, prepared=prepared) == want
+    assert calls["n"] == 0  # hoisted state bypasses preparation entirely

@@ -336,6 +336,43 @@ def q_ann_pq(spark, sf_dir):
     )
 
 
+def q_ann_pq_indexed(spark, sf_dir):
+    """PERSISTED IVF-PQ index row (round-4 verdict #2): build writes
+    the codes table partitioned by centroid_id (assignment + encoding
+    paid once), search prunes non-probed cells at the scan
+    (PartitionFilters, plan-tested in test_similarity.py).  Run at
+    FULL probe so the result provably equals plain PQ ADC top-5 and
+    the ``ann_pq`` python-twin fixture applies verbatim; the
+    n_probe<k pruning path is pytest-verified."""
+    _ensure(spark)
+    import tempfile
+
+    from deepie_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_search,
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+
+    e = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(e.select("embedding").first()["embedding"])
+    books = pq_train_codebooks(e, dim=dim, m=8, k=16, iters=3, sample=512)
+    cents = ivf_train_centroids(e, k=8, iters=2)
+    query = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    key = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"deepie_ivf_pq_index_{key}")
+    ivf_pq_index(e, cents, books, path)
+    top = ivf_pq_search(
+        spark, path, cents, books, query, topk=5, n_probe=len(cents)
+    )
+    return top.select(
+        "vec_id",
+        F.round(F.col("dist2") * 1e6).cast("bigint").alias("dist2_e6"),
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN chain driver row: deterministic mini-kmeans training
     (Lloyd steps as DataFrame jobs) -> centroid assignment -> probe
@@ -749,6 +786,71 @@ def q_etl_stl(spark, sf_dir):
     return extract_stl_triples(pages_df, bc)
 
 
+_SWAPPED_EXTRACTOR = None
+_SWAPPED_BC: dict[str, object] = {}
+SWAP_SEED = 77707
+
+
+def _swapped_extractor():
+    """PageExtractor whose encoder tensors were ACTUALLY swapped from a
+    .npz checkpoint on disk (round-4 verdict #3): a donor encoder with
+    a different seed is saved with ``save_weights`` and loaded back via
+    the ``weights_path``/``load_weights`` checkpoint interface — so the
+    artifact the broadcast ships came from the FILE, not from code.
+    Memoized: the donor build + load cost ~2 s of driver RNG."""
+    global _SWAPPED_EXTRACTOR
+    if _SWAPPED_EXTRACTOR is None:
+        import tempfile
+
+        from deepie_spark.config.schema import SYNTH_SCHEMA
+        from deepie_spark.functions.encoder import TinyTransformerEncoder
+        from deepie_spark.operators.extract import PageExtractor
+        from deepie_spark.sources.synth import gen_world
+
+        base = _extractor()
+        donor = TinyTransformerEncoder(
+            base.tokenizer.vocab, seed=SWAP_SEED,
+            num_labels=SYNTH_SCHEMA.num_labels,
+        )
+        path = os.path.join(
+            tempfile.gettempdir(), f"deepie_swap_weights_{SWAP_SEED}.npz"
+        )
+        donor.save_weights(path)
+        ex = PageExtractor(
+            SYNTH_SCHEMA, gen_world().alias_rows, weights_path=path
+        )
+        # the loaded tensor set IS the donor's (file round-trip exact)
+        # and differs from the default-seed artifact
+        assert ex.encoder.weights_fingerprint() == donor.weights_fingerprint()
+        assert ex.encoder.weights_fingerprint() != base.encoder.weights_fingerprint()
+        _SWAPPED_EXTRACTOR = ex
+    return _SWAPPED_EXTRACTOR
+
+
+def _swapped_bc(spark: SparkSession):
+    key = spark.sparkContext.applicationId
+    bc = _SWAPPED_BC.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(_swapped_extractor())
+        _SWAPPED_BC[key] = bc
+    return bc
+
+
+def q_encoder_grids_swapped(spark, sf_dir):
+    """The tensor-swap proof row: identical code, different .npz
+    checkpoint -> every grid hash changes (vs ``encoder_grids``) while
+    the decoded triples stay byte-identical (gates bounded in
+    (0.70, 0.95), above every decode threshold).  Grids therefore
+    track the ARTIFACT, not the code — the property a trained
+    checkpoint swap relies on."""
+    _ensure(spark)
+    from deepie_spark.operators.extract import encoder_grid_hashes
+    from deepie_spark.sources.synth import corpus_dataframes
+
+    pages_df, _, _ = corpus_dataframes(spark, _pages_count(sf_dir))
+    return encoder_grid_hashes(pages_df, _swapped_bc(spark))
+
+
 def q_encoder_grids(spark, sf_dir):
     """Weight-artifact verification: per-page md5 over the transformer
     gate grids (subject + all per-subject object grids, p*1e6 ints)
@@ -917,6 +1019,34 @@ def _expected_encoder_grids(sf_dir):
     from deepie_spark.sources.synth import gen_corpus
 
     ex = _extractor()
+    w = ex.encoder.weights_fingerprint()
+    pages, _, _ = gen_corpus(_pages_count(sf_dir))
+    rows = []
+    for p in pages:
+        nt, gm, pm = encoder_grid_py(ex, p["text"])
+        rows.append(
+            {"url": p["url"], "n_tokens": nt, "w_md5": w,
+             "grid_md5": gm, "po_md5": pm}
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()), ("n_tokens", pa.int32()),
+                ("w_md5", pa.string()), ("grid_md5", pa.string()),
+                ("po_md5", pa.string()),
+            ]
+        ),
+    )
+
+
+def _expected_encoder_grids_swapped(sf_dir):
+    import pyarrow as pa
+
+    from deepie_spark.operators.extract import encoder_grid_py
+    from deepie_spark.sources.synth import gen_corpus
+
+    ex = _swapped_extractor()
     w = ex.encoder.weights_fingerprint()
     pages, _, _ = gen_corpus(_pages_count(sf_dir))
     rows = []
@@ -1417,6 +1547,7 @@ _FIXTURE_BUILDERS = {
     "etl_stl_triples": _expected_etl_stl,
     "mentions_trie": _expected_mentions,
     "encoder_grids": _expected_encoder_grids,
+    "encoder_grids_swapped": _expected_encoder_grids_swapped,
     "neural_ner": _expected_neural_ner,
     "attributes": _expected_attributes,
     "minhash_fast": _expected_minhash_fast,
@@ -1424,6 +1555,9 @@ _FIXTURE_BUILDERS = {
     "near_dup_lsh": _expected_near_dup_lsh,
     "near_dup_lsh_fast": _expected_near_dup_lsh_fast,
     "ann_pq": _expected_ann_pq,
+    # full-probe indexed search is defined to equal plain PQ ADC, so
+    # the same python twin is the oracle for both rows
+    "ann_pq_indexed": _expected_ann_pq,
     "lsh_pairs_fast": _expected_lsh_pairs_fast,
 }
 
@@ -1465,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_pq_indexed": q_ann_pq_indexed,
         "near_dup_brute": q_near_dup_brute,
         "near_dup_lsh": q_near_dup_lsh,
         "near_dup_lsh_fast": q_near_dup_lsh_fast,
@@ -1481,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_stl_triples": q_etl_stl,
         "mentions_trie": q_mentions_trie,
         "encoder_grids": q_encoder_grids,
+        "encoder_grids_swapped": q_encoder_grids_swapped,
         "neural_ner": q_neural_ner,
         "word_alignment": q_word_alignment,
         "media_features": q_media_features,
@@ -1556,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "etl_stl_triples": fx("etl_stl_triples"),
         "mentions_trie": fx("mentions_trie"),
         "encoder_grids": fx("encoder_grids"),
+        "encoder_grids_swapped": fx("encoder_grids_swapped"),
         "neural_ner": fx("neural_ner"),
         "attributes": fx("attributes"),
         "minhash_fast": fx("minhash_fast"),
@@ -1566,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_lsh": fx("near_dup_lsh"),
         "near_dup_lsh_fast": fx("near_dup_lsh_fast"),
         "ann_pq": fx("ann_pq"),
+        "ann_pq_indexed": fx("ann_pq_indexed"),
         "lsh_pairs_fast": fx("lsh_pairs_fast"),
         "clean_text": """
             SELECT doc_id,

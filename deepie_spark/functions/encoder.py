@@ -154,6 +154,66 @@ class TinyTransformerEncoder:
         self.w_obj = w(num_labels, 2, d_model, scale=0.5)
         self.w_cond = w(d_model, scale=0.5)
 
+    # -- checkpoint interface ---------------------------------------------
+
+    def state_dict(self) -> dict[str, np.ndarray]:
+        """Named tensor map, BERT-checkpoint style (the reference loads
+        ``BertModel`` weights by name into the net at
+        multi_pointer_net.py:16-161; this is the same contract for the
+        numpy encoder).  Names are stable and ordered; values are the
+        LIVE arrays (copy before mutating)."""
+        sd: dict[str, np.ndarray] = {
+            "embeddings.word_embeddings": self.tok_emb,
+            "embeddings.position_embeddings": self.pos_emb,
+            "embeddings.input_projection": self.w_in,
+        }
+        for i, lay in enumerate(self.layers):
+            for k in sorted(lay):
+                sd[f"encoder.layer.{i}.{k}"] = lay[k]
+        sd["final_layer_norm.gamma"] = self.lnf_g
+        sd["final_layer_norm.beta"] = self.lnf_b
+        sd["heads.subject"] = self.w_sub
+        sd["heads.object"] = self.w_obj
+        sd["heads.condition"] = self.w_cond
+        return sd
+
+    def load_state_dict(self, sd: dict[str, np.ndarray]) -> None:
+        """Swap in a foreign tensor set — the operation a TRAINED
+        checkpoint performs against this encoder.  Strict by design:
+        every expected name must be present with the exact shape and a
+        float32 value (missing/extra/misshapen tensors raise instead of
+        silently extracting with half-swapped weights)."""
+        own = self.state_dict()
+        missing = sorted(set(own) - set(sd))
+        extra = sorted(set(sd) - set(own))
+        if missing or extra:
+            raise ValueError(
+                f"state dict mismatch: missing={missing[:3]} extra={extra[:3]}"
+            )
+        staged = {}
+        for name, cur in own.items():
+            arr = np.asarray(sd[name], dtype=np.float32)
+            if arr.shape != cur.shape:
+                raise ValueError(
+                    f"tensor {name}: shape {arr.shape} != expected {cur.shape}"
+                )
+            staged[name] = arr
+        # all-or-nothing: only assign once every tensor validated
+        for name, arr in staged.items():
+            own[name][...] = arr
+
+    def save_weights(self, path: str) -> None:
+        """Serialize the full tensor set to one ``.npz`` artifact (the
+        shippable checkpoint file; ~11 MB)."""
+        np.savez(path, **self.state_dict())
+
+    def load_weights(self, path: str) -> None:
+        """Load a ``.npz`` checkpoint produced by :meth:`save_weights`
+        (or any writer emitting the same names/shapes) — the actual
+        tensor swap behind the broadcast interface."""
+        with np.load(path) as z:
+            self.load_state_dict({k: z[k] for k in z.files})
+
     # -- artifact accounting ------------------------------------------------
 
     def n_params(self) -> int:

@@ -75,6 +75,7 @@ class PageExtractor:
         vocab: dict[str, int] | None = None,
         max_seq_length: int = 256,
         with_encoder: bool = True,
+        weights_path: str | None = None,
     ):
         self.schema = schema
         self.max_seq_length = max_seq_length
@@ -87,6 +88,13 @@ class PageExtractor:
             self.encoder = TinyTransformerEncoder(
                 self.tokenizer.vocab, num_labels=schema.num_labels
             )
+            if weights_path is not None:
+                # the checkpoint-load path (multi_pointer_net.py:16-161's
+                # analogue): every tensor comes from the .npz artifact
+                # on disk, not the seeded init — the broadcast then
+                # ships the LOADED weights, and encoder_grids hashes
+                # prove the grids track the file (tested)
+                self.encoder.load_weights(weights_path)
             self.model = NeuralTriggerModel(
                 schema, self.tokenizer, self.trie, self.encoder
             )

@@ -305,21 +305,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search: score only rows whose centroid is among the query's
-    ``n_probe`` nearest — at scale the table is partitioned/clustered
-    by centroid_id, so non-probed cells are pruned at the scan."""
-    import math
-
-    def cos_py(a, b):
-        dot_ = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot_ / (na * nb + 1e-12)
-
-    probes = sorted(
-        range(len(centroids)),
-        key=lambda i: -cos_py(centroids[i], query),
-    )[:n_probe]
+    """IVF search over a LIVE frame: score only rows whose centroid is
+    among the query's ``n_probe`` nearest.  Assignment is recomputed
+    per query here; for the at-scale shape — assignment paid once,
+    non-probed cells pruned at the scan — build a persisted index with
+    :func:`ivf_pq_index` and query via :func:`ivf_pq_search`."""
+    probes = _probe_cells(centroids, query, n_probe)
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query])
     return (
@@ -436,14 +427,21 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>): nearest codebook entry per subspace —
-    one Arrow-batched numpy pass, broadcast-multiply distances (no
-    gemm, so results are batch-shape independent and twin-exact)."""
+    """(id, codes array<int>[, *keep_cols]): nearest codebook entry per
+    subspace — one Arrow-batched numpy pass, broadcast-multiply
+    distances (no gemm, so results are batch-shape independent and
+    twin-exact).  ``keep_cols`` pass through untouched (the index
+    builder keeps ``centroid_id`` this way)."""
     import numpy as np
 
     books = np.asarray(codebooks, dtype=np.float64)  # [m, k, dsub]
     m, k, dsub = books.shape
+    keep_ddl = "".join(
+        f", {c} {embeddings.schema[c].dataType.simpleString()}"
+        for c in keep_cols
+    )
 
     def kernel(it):
         import pandas as pd
@@ -454,10 +452,13 @@ def pq_encode(
                 x = np.asarray(v, dtype=np.float64).reshape(m, 1, dsub)
                 d2 = ((x - books) ** 2).sum(axis=2)  # [m, k]
                 codes.append(d2.argmin(axis=1).astype(np.int32).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "codes": codes})
+            out = {id_col: pdf[id_col], "codes": codes}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        kernel, f"{id_col} bigint, codes array<int>"
+    return embeddings.select(id_col, vec_col, *keep_cols).mapInPandas(
+        kernel, f"{id_col} bigint, codes array<int>{keep_ddl}"
     )
 
 
@@ -494,6 +495,76 @@ def pq_adc_topk(
     return scored.orderBy(F.asc("dist2"), F.asc(id_col)).limit(topk)
 
 
+def ivf_pq_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the PERSISTED IVF-PQ index: assign every vector to its
+    coarse cell, PQ-encode it once, and write the (id, codes) table
+    partitioned by ``centroid_id`` — one directory per cell.
+
+    This is the missing build step round 4 flagged for
+    ``ivf_topk``/``ivf_pq_topk``: those recompute the centroid argmax
+    over the WHOLE table at every query.  With the index on disk,
+    assignment and encoding are paid once at build time, queries read
+    only the probed cells' directories (Spark partition pruning — the
+    filter lands in PartitionFilters, plan-tested in
+    test_similarity.py), and ranking touches m-int codes, never float
+    vectors.  Iceberg/production analogue: a table partitioned by the
+    coarse cell id with codes as a column; 10^9 vectors at m=8, k=16
+    are ~8 GB of codes instead of ~256 GB of float32."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    coded = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col,
+        keep_cols=("centroid_id",),
+    )
+    coded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def _probe_cells(centroids: list[list[float]], query: list[float], n_probe: int) -> list[int]:
+    """The query's ``n_probe`` nearest coarse cells by cosine (driver-
+    side: k x dim floats)."""
+    import math
+
+    def cos_py(a, b):
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb + 1e-12)
+
+    return sorted(
+        range(len(centroids)), key=lambda i: -cos_py(centroids[i], query)
+    )[:n_probe]
+
+
+def ivf_pq_search(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    codebooks,
+    query: list[float],
+    topk: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the persisted IVF-PQ index: non-probed cells are pruned
+    AT THE SCAN (the ``centroid_id IN (...)`` filter is a partition
+    filter over the ``centroid_id=N`` directories — no file in a
+    non-probed cell is opened), then PQ asymmetric distance ranks the
+    survivors.  At full probe (n_probe = k) the result equals
+    ``pq_adc_topk`` over the whole table (tested)."""
+    probes = _probe_cells(centroids, query, n_probe)
+    cells = spark.read.parquet(path).where(F.col("centroid_id").isin(probes))
+    return pq_adc_topk(
+        cells.select(id_col, "codes"), codebooks, query,
+        topk=topk, id_col=id_col,
+    )
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -506,21 +577,12 @@ def ivf_pq_topk(
 ) -> DataFrame:
     """IVF-PQ: coarse probe prunes cells, PQ asymmetric distance ranks
     inside them — the standard billion-scale ANN index composition
-    (coarse quantizer + product codes, Jegou et al. 2011 §IV).  At
-    scale the table is clustered by centroid_id with codes precomputed,
-    so non-probed cells never leave the scan and ranking touches only
-    m-int codes, never float vectors."""
-    import math
-
-    def cos_py(a, b):
-        dot_ = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot_ / (na * nb + 1e-12)
-
-    probes = sorted(
-        range(len(centroids)), key=lambda i: -cos_py(centroids[i], query)
-    )[:n_probe]
+    (coarse quantizer + product codes, Jegou et al. 2011 §IV).  This
+    form assigns + encodes per query over a live frame; the persisted
+    shape — assignment and codes paid once at build, non-probed cells
+    pruned at the scan — is :func:`ivf_pq_index` +
+    :func:`ivf_pq_search`."""
+    probes = _probe_cells(centroids, query, n_probe)
     cand = ivf_assign(embeddings, centroids, id_col, vec_col).where(
         F.col("centroid_id").isin(probes)
     )

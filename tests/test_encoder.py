@@ -140,3 +140,74 @@ def test_fused_extraction_with_encoder_matches_oracle(spark, world, ex):
             for t in ex.extract_page_py(p["text"])
         ]
         assert sorted(by_url.get(p["url"], [])) == sorted(want)
+
+
+def test_checkpoint_save_load_roundtrip_swaps_every_tensor(ex, world, tmp_path):
+    """The checkpoint interface (round-4 verdict #3): save_weights ->
+    load_weights must transplant a FOREIGN tensor set exactly — the
+    loaded encoder fingerprints identical to the donor and forwards
+    identically, with the default-seed tensors fully gone."""
+    from deepie_spark.functions.encoder import TinyTransformerEncoder
+
+    donor = TinyTransformerEncoder(
+        ex.tokenizer.vocab, seed=4242, num_labels=SYNTH_SCHEMA.num_labels
+    )
+    assert donor.weights_fingerprint() != ex.encoder.weights_fingerprint()
+    path = str(tmp_path / "ckpt.npz")
+    donor.save_weights(path)
+
+    loaded = PageExtractor(SYNTH_SCHEMA, world.alias_rows, weights_path=path)
+    assert loaded.encoder.weights_fingerprint() == donor.weights_fingerprint()
+    h_d = donor.forward(["[CLS]", "spark", "query", "[SEP]"])
+    h_l = loaded.encoder.forward(["[CLS]", "spark", "query", "[SEP]"])
+    assert np.array_equal(h_d, h_l)
+
+
+def test_load_state_dict_rejects_bad_checkpoints(ex):
+    from deepie_spark.functions.encoder import TinyTransformerEncoder
+
+    enc = TinyTransformerEncoder(
+        ex.tokenizer.vocab, seed=7, num_labels=SYNTH_SCHEMA.num_labels
+    )
+    before = enc.weights_fingerprint()
+    sd = {k: v.copy() for k, v in enc.state_dict().items()}
+
+    missing = dict(sd)
+    missing.pop("heads.subject")
+    with pytest.raises(ValueError, match="missing"):
+        enc.load_state_dict(missing)
+
+    bad_shape = {k: v.copy() for k, v in sd.items()}
+    bad_shape["embeddings.input_projection"] = np.zeros((3, 3), dtype=np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        enc.load_state_dict(bad_shape)
+    # all-or-nothing: the failed loads left every tensor untouched
+    assert enc.weights_fingerprint() == before
+
+
+def test_grids_track_the_artifact_not_the_code(ex, world, tmp_path):
+    """Same code, different .npz checkpoint -> different grid hashes,
+    identical decoded triples (gates stay inside (0.70, 0.95), above
+    every decode threshold) — the property that makes a trained-weight
+    swap a pure artifact operation."""
+    from deepie_spark.functions.encoder import TinyTransformerEncoder
+
+    donor = TinyTransformerEncoder(
+        ex.tokenizer.vocab, seed=9001, num_labels=SYNTH_SCHEMA.num_labels
+    )
+    path = str(tmp_path / "swap.npz")
+    donor.save_weights(path)
+    swapped = PageExtractor(SYNTH_SCHEMA, world.alias_rows, weights_path=path)
+
+    pages, _, _ = gen_corpus(60, world=world)
+    n_diff = 0
+    for p in pages:
+        base_triples = ex.extract_page_py(p["text"])
+        swap_triples = swapped.extract_page_py(p["text"])
+        assert base_triples == swap_triples  # decode invariant
+        nb, gb, pb = encoder_grid_py(ex, p["text"])
+        ns, gs, ps = encoder_grid_py(swapped, p["text"])
+        assert nb == ns
+        if base_triples:  # pages with hits carry encoder-valued grids
+            n_diff += (gb, pb) != (gs, ps)
+    assert n_diff > 0  # the hashes really track the artifact

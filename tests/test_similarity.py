@@ -232,3 +232,51 @@ def test_ivf_pq_composition(spark):
         df, cents, books, q, topk=10, n_probe=1).collect()]
     # the query's own cell holds its cluster: most of the top-10 survives
     assert len(set(one) & set(plain)) >= 6
+
+
+def test_ivf_pq_index_build_search_and_partition_pruning(spark, tmp_path):
+    """The persisted IVF-PQ index (round-4 verdict #2): build writes a
+    codes table partitioned by centroid_id; full-probe search equals
+    plain PQ over everything; partial-probe search PRUNES non-probed
+    cells AT THE SCAN — the centroid filter lands in PartitionFilters
+    and only the probed cells' files are read."""
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(4, 32)) * 4
+    rows = [
+        (i, (centers[i % 4] + rng.normal(scale=0.4, size=32)).tolist())
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = S.ivf_train_centroids(df, k=4, iters=2)
+    books = S.pq_train_codebooks(df, dim=32, m=8, k=16, iters=2, sample=160)
+    q = rows[0][1]
+    path = str(tmp_path / "ivf_pq_index")
+    S.ivf_pq_index(df, cents, books, path)
+
+    # index holds codes only — the float vectors never hit the index
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"vec_id", "codes", "centroid_id"}
+
+    full = [r["vec_id"] for r in S.ivf_pq_search(
+        spark, path, cents, books, q, topk=10, n_probe=4).collect()]
+    plain = [r["vec_id"] for r in S.pq_adc_topk(
+        S.pq_encode(df, books), books, q, topk=10).collect()]
+    assert full == plain  # full probe == no pruning
+
+    # partial probe: the probed cells' directories are the ONLY input
+    probes = S._probe_cells(cents, q, 1)
+    one = S.ivf_pq_search(spark, path, cents, books, q, topk=10, n_probe=1)
+    got = [r["vec_id"] for r in one.collect()]
+    assert len(set(got) & set(plain)) >= 6  # query's own cell
+    scan = one._jdf.queryExecution().executedPlan().toString()
+    # the probe filter is a PARTITION filter (directory pruning), not a
+    # post-scan data filter: non-probed cells' files are never opened
+    assert "PartitionFilters" in scan, scan
+    part_seg = scan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in part_seg, part_seg
+    # and the search result really is confined to the probed cell
+    cell_ids = {
+        r["vec_id"]
+        for r in idx.where(F.col("centroid_id") == probes[0]).collect()
+    }
+    assert set(got) <= cell_ids

@@ -204,3 +204,78 @@ def test_streaming_dedup_replayed_doc_idempotent(spark, tmp_path):
     # single state entry per doc: (a, b) unique within each band
     keys = [(r["a"], r["b"], r["band_id"]) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def _kg_state(spark, lake_root):
+    lake = Lakehouse(lake_root, spark)
+    rows = lake.read("kg_triples").select(
+        "url", "subject", "predicate", "triple_key"
+    ).collect()
+    return sorted((r["url"], r["subject"], r["predicate"], r["triple_key"]) for r in rows)
+
+
+@pytest.mark.parametrize("crash_point", ["after_sink", "torn_commit"])
+def test_stream_failure_injection_replay_exactly_once(
+    spark, extractor, tmp_path, monkeypatch, crash_point
+):
+    """Exactly-once evidence for the bucket-pruned streaming MERGE
+    (round-4 verdict #8): kill the job mid-batch at the two nastiest
+    windows and prove checkpoint replay converges to the SAME kg state
+    as an uninterrupted run.
+
+    - after_sink: the merge committed but the handler dies before
+      Spark's checkpoint commit -> the batch is REPLAYED and merged a
+      second time; triple_key upsert must be idempotent.
+    - torn_commit: the merge dies between the atomic v=N rename and
+      the pointer commit -> the retry must sweep the orphaned version
+      dir and re-derive the same state."""
+    from deepie_spark.streaming import ingest
+
+    pages_df, _, _ = corpus_dataframes(spark, 60)
+    src = tmp_path / "pages_src_fail"
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    pages_df.repartition(2).write.parquet(str(src))
+    bc = spark.sparkContext.broadcast(extractor)
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(pages_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    # reference: uninterrupted run
+    q = stream_pages_to_kg(
+        spark, mk_stream(), bc, str(tmp_path / "lake_ref"),
+        str(tmp_path / "ckpt_ref"),
+    )
+    q.awaitTermination(180)
+    want = _kg_state(spark, tmp_path / "lake_ref")
+    assert want
+
+    armed = {"crash": True}
+
+    class FailingLake(Lakehouse):
+        def merge_upsert_bucketed(self, *a, **k):
+            if crash_point == "after_sink":
+                v = super().merge_upsert_bucketed(*a, **k)
+                if armed.pop("crash", None):
+                    raise RuntimeError("injected: died after sink commit")
+                return v
+            return super().merge_upsert_bucketed(*a, **k)
+
+        def _commit(self, name, version, layout=None):
+            if crash_point == "torn_commit" and armed.pop("crash", None):
+                raise RuntimeError("injected: died between rename and pointer commit")
+            return super()._commit(name, version, layout=layout)
+
+    monkeypatch.setattr(ingest, "Lakehouse", FailingLake)
+    lake_root, ck = str(tmp_path / "lake_f"), str(tmp_path / "ckpt_f")
+    q = stream_pages_to_kg(spark, mk_stream(), bc, lake_root, ck)
+    with pytest.raises(Exception, match="injected"):
+        q.awaitTermination(180)
+        q.processAllAvailable()
+    # restart from the same checkpoint: the failed batch replays
+    q2 = stream_pages_to_kg(spark, mk_stream(), bc, lake_root, ck)
+    q2.awaitTermination(180)
+    assert _kg_state(spark, lake_root) == want

@@ -299,7 +299,11 @@ class TinyTransformerEncoder:
     # -- gate probabilities ----------------------------------------------
 
     def _attention(self, lay: dict, x: np.ndarray, L: int) -> np.ndarray:
-        """Vanilla scaled dot-product multi-head attention -> [L, D]."""
+        """Vanilla scaled dot-product multi-head attention -> [L, D].
+        Kept as three separate live-tensor projections ON PURPOSE: a
+        fused precomputed QKV matrix measured ~3% faster but goes
+        stale if a tensor is mutated in place (corruption tests caught
+        exactly that), and weight integrity beats the margin."""
         nh, dh = self.n_heads, self.d_model // self.n_heads
         inv_sqrt = np.float32(1.0 / np.sqrt(dh))
         q = (x @ lay["wq"]).reshape(L, nh, dh).transpose(1, 0, 2)
@@ -313,13 +317,37 @@ class TinyTransformerEncoder:
         logits = hidden @ self.w_sub.T  # [L,2]
         return GATE_LO + GATE_SPAN * sigmoid(logits.astype(np.float64))
 
-    def object_gates(self, hidden: np.ndarray, subject: tuple[int, int]) -> np.ndarray:
-        """[L, P, 2] subject-conditioned gate probabilities.  Single
-        gemm against the flattened [P*2, d_model] head matrix (an
-        einsum here costs ~10x in per-call overhead at these sizes and
-        this runs once per decoded subject)."""
+    def subject_gate_at(self, hidden: np.ndarray, i: int, which: int) -> float:
+        """One subject gate value (``which``: 0=start, 1=end).  The
+        grid emitters only READ gates at scan-believed positions — a
+        handful per page — so computing the full [L, 2] matrix +
+        sigmoid per page was pure waste; this is O(d_model) per
+        believed position."""
+        logit = float(hidden[i] @ self.w_sub[which])
+        return GATE_LO + GATE_SPAN * float(sigmoid(np.float64(logit)))
+
+    def object_condition(self, hidden: np.ndarray, subject: tuple[int, int]) -> float:
+        """The subject-span conditioning scalar shared by every object
+        gate of one subject (the cascade's stage-2 conditioning,
+        multi_pointer_net.py:96-123)."""
         s1, s2 = subject
-        cond = np.float32(hidden[s1 : s2 + 1].mean(axis=0) @ self.w_cond)
+        return float(np.float32(hidden[s1 : s2 + 1].mean(axis=0) @ self.w_cond))
+
+    def object_gate_at(
+        self, hidden: np.ndarray, cond: float, i: int, p: int, which: int
+    ) -> float:
+        """One subject-conditioned object gate value at (token i,
+        predicate p, start/end ``which``) — O(d_model) instead of the
+        full [L, P, 2] grid per decoded subject."""
+        logit = float(np.float32(hidden[i] @ self.w_obj[p, which]) + np.float32(cond))
+        return GATE_LO + GATE_SPAN * float(sigmoid(np.float64(logit)))
+
+    def object_gates(self, hidden: np.ndarray, subject: tuple[int, int]) -> np.ndarray:
+        """[L, P, 2] subject-conditioned gate probabilities (the full
+        grid; the hot path uses :meth:`object_gate_at`).  Single gemm
+        against the flattened [P*2, d_model] head matrix (an einsum
+        here costs ~10x in per-call overhead at these sizes)."""
+        cond = np.float32(self.object_condition(hidden, subject))
         L = hidden.shape[0]
         flat = self.w_obj.reshape(self.num_labels * 2, self.d_model)
         logits = (hidden @ flat.T).reshape(L, self.num_labels, 2) + cond

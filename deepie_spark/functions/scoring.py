@@ -227,20 +227,26 @@ class NeuralTriggerModel(TriggerModel):
         g = np.zeros((n_wrapped, 2), dtype=np.float32)
         if not page.hits:
             return g
-        gates = self.encoder.subject_gates(page.hidden)
+        # per-entry gates: the grid only carries values at scan-believed
+        # positions (a handful per page), so the full [L, 2] gate matrix
+        # was computed to be thrown away — O(hits * d) beats O(L * d)
+        enc = self.encoder
         for s1, s2, _o1, _o2, _p in page.hits:
-            g[s1 + 1, 0] = gates[s1 + 1, 0]
-            g[s2 + 1, 1] = gates[s2 + 1, 1]
+            g[s1 + 1, 0] = enc.subject_gate_at(page.hidden, s1 + 1, 0)
+            g[s2 + 1, 1] = enc.subject_gate_at(page.hidden, s2 + 1, 1)
         return g
 
     def po_grid(self, page: PageScan, subject: tuple[int, int], n_wrapped: int) -> np.ndarray:
         g = np.zeros((n_wrapped, self.num_labels, 2), dtype=np.float32)
         if not page.hits:
             return g
-        gates = self.encoder.object_gates(page.hidden, subject)
+        enc = self.encoder
         s1, s2 = subject[0] - 1, subject[1] - 1  # unwrap
+        cond = None
         for t1, t2, o1, o2, p in page.hits:
             if (t1, t2) == (s1, s2):
-                g[o1 + 1, p, 0] = gates[o1 + 1, p, 0]
-                g[o2 + 1, p, 1] = gates[o2 + 1, p, 1]
+                if cond is None:  # one conditioning scalar per subject
+                    cond = enc.object_condition(page.hidden, subject)
+                g[o1 + 1, p, 0] = enc.object_gate_at(page.hidden, cond, o1 + 1, p, 0)
+                g[o2 + 1, p, 1] = enc.object_gate_at(page.hidden, cond, o2 + 1, p, 1)
         return g

@@ -322,8 +322,11 @@ def _run_level(cpus: int) -> dict:
     return json.loads(line)
 
 
-SCALING_TIME_BUDGET_S = int(os.environ.get("DEEPIE_SCALING_BUDGET", "1100"))
+SCALING_TIME_BUDGET_S = int(os.environ.get("DEEPIE_SCALING_BUDGET", "2400"))
 SCALING_TARGET = 0.8  # BASELINE.md north-rule gate
+# median-over->=3-weather-valid-pairs is the evidence bar (round-4
+# verdict: n=1 clean pair is not enough)
+SCALING_MIN_VALID_PAIRS = int(os.environ.get("DEEPIE_SCALING_MIN_VALID", "3"))
 
 
 def run_scaling() -> dict:
@@ -362,8 +365,18 @@ def run_scaling() -> dict:
             file=sys.stderr, flush=True,
         )
         effs_so_far = [r["eff"] for r in rounds]
-        if statistics.median(effs_so_far) >= SCALING_TARGET:
-            break  # the median itself clears the gate; stop sampling
+        n_valid = len([r for r in rounds if r["weather_ok"]])
+        # round-4 verdict: a single clean pair is not evidence — stop
+        # early only once >=3 weather-valid pairs exist AND their
+        # median clears the gate
+        if (
+            n_valid >= SCALING_MIN_VALID_PAIRS
+            and statistics.median(
+                [r["eff"] for r in rounds if r["weather_ok"]]
+            ) >= SCALING_TARGET
+            and statistics.median(effs_so_far) >= SCALING_TARGET
+        ):
+            break
         if time.time() - t_start > SCALING_TIME_BUDGET_S and i + 1 >= 2:
             print("scaling: time budget spent", file=sys.stderr, flush=True)
             break
@@ -454,6 +467,93 @@ def run_scaling() -> dict:
     return scal
 
 
+def run_skew_bench(spark, sf_dir: str) -> dict:
+    """Hub-entity skew at bench scale (round-4 verdict #7): the same
+    tokens -> mentions -> salted counts -> extract -> link -> CC chain
+    over two corpora of IDENTICAL size — one where a single entity's
+    page is replicated until it carries ~30% of all mentions (a
+    celebrity on a web crawl), one where the same number of replicas
+    spread uniformly over distinct pages.  Records both walls and the
+    skew/uniform ratio; the salted two-phase aggregation and the
+    distinct-before-CC design are what keep the ratio near 1.0 (an
+    unsalted plan funnels the hub's rows into one reducer and the
+    ratio grows with the replica count)."""
+    from deepie_spark.config.schema import SYNTH_SCHEMA
+    from deepie_spark.operators.canonicalize import canonicalize_entities
+    from deepie_spark.operators.extract import (
+        PageExtractor,
+        extract_triples_fused,
+        stage_tokens,
+    )
+    from deepie_spark.operators.linking import (
+        alias_dim_with_key,
+        detect_mentions,
+        link_triples,
+        page_mentions_py,
+    )
+    from deepie_spark.operators.skew import salted_count
+    from deepie_spark.sources.synth import corpus_dataframes, gen_corpus, gen_world
+
+    import __spark_entry__ as em
+
+    n = em._pages_count(sf_dir)
+    world = gen_world()
+    ex = PageExtractor(SYNTH_SCHEMA, world.alias_rows)
+    bc = spark.sparkContext.broadcast(ex)
+    _, _, alias_df = corpus_dataframes(spark, 1)
+    alias_dim = alias_dim_with_key(alias_df, bc)
+
+    pages, _, _ = gen_corpus(n, world=world)
+    hub_page = None
+    for p in pages:
+        ctx, toks, st_, en_ = ex.tokenize_page(p["text"])
+        if len(page_mentions_py(ex, p["url"], ctx, toks, st_, en_)) >= 2:
+            hub_page = p
+            break
+    assert hub_page is not None
+    n_extra = max(n // 2, 100)  # ~30% of the final corpus is replicas
+    base = [(p["url"], p["lang"], p["text"]) for p in pages]
+    skew_rows = base + [
+        (f"{hub_page['url']}#hub{i}", hub_page["lang"], hub_page["text"])
+        for i in range(n_extra)
+    ]
+    uni_rows = base + [
+        (f"{pages[i % n]['url']}#uni{i}", pages[i % n]["lang"],
+         pages[i % n]["text"])
+        for i in range(n_extra)
+    ]
+
+    def chain(rows) -> float:
+        df = spark.createDataFrame(
+            rows, "url string, lang string, text string"
+        ).repartition(CPUS).cache()
+        df.count()  # materialize input outside the timed window
+        t0 = time.time()
+        tokens = stage_tokens(df, bc)
+        mentions = detect_mentions(tokens, bc)
+        salted_count(mentions, ["canonical_id"]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        linked = link_triples(extract_triples_fused(df, bc), alias_dim, bc)
+        canonicalize_entities(linked, alias_dim, bc).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        sec = time.time() - t0
+        df.unpersist()
+        return round(sec, 3)
+
+    chain(uni_rows)  # full-size warm: workers, broadcasts, CC lineage
+    uni = chain(uni_rows)
+    skew = chain(skew_rows)
+    return {
+        "n_pages": len(skew_rows),
+        "hub_replicas": n_extra,
+        "uniform_sec": uni,
+        "skew_sec": skew,
+        "skew_over_uniform": round(skew / uni, 3) if uni else None,
+    }
+
+
 def run_kg_pipeline(spark, sf_dir: str) -> float:
     """Full checkpointed KG pipeline (pages -> texts/tokens -> triples
     -> mentions -> linked -> canonical clusters -> MERGE into kg_*
@@ -527,6 +627,8 @@ def main() -> None:
 
     queries["kg_pipeline"] = round(run_kg_pipeline(spark, SF_DIR), 3)
     print(f"kg_pipeline: {queries['kg_pipeline']}s", file=sys.stderr, flush=True)
+    skew = run_skew_bench(spark, SF_DIR)
+    print(f"skew: {skew}", file=sys.stderr, flush=True)
     spark.stop()
 
     result = {
@@ -537,6 +639,7 @@ def main() -> None:
         "sf": sf,
         "n_triples": n_triples,
         "flagship_sec": round(fsec, 3),
+        "skew": skew,
     }
 
     if "--no-scaling" not in sys.argv:

@@ -64,6 +64,12 @@ from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# one BLAS thread everywhere (engine-free probes included): the bench
+# saturates cores with processes; BLAS-internal threads only thrash
+# (see deepie_spark/session.py)
+for _var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TMP = Path(os.environ.get("DEEPIE_BENCH_TMP", "/tmp/deepie_bench"))
@@ -195,10 +201,11 @@ def _probe_at(n: int, secs: float = 2.0) -> float:
 
 def _kernel_worker(ex_blob, pages, reps, q):
     ex = pickle.loads(ex_blob)
+    texts = [text for _url, text in pages]
     n = 0
     for _ in range(reps):
-        for _url, text in pages:
-            n += len(ex.extract_page_py(text))
+        # same batched body the fused Spark kernel runs
+        n += sum(len(t) for t in ex.extract_pages_py(texts))
     q.put(n)
 
 

@@ -296,6 +296,41 @@ class TinyTransformerEncoder:
             h = h + _gelu(x @ lay["w1"] + lay["b1"]) @ lay["w2"] + lay["b2"]
         return _layer_norm(h, self.lnf_g, self.lnf_b)
 
+    def forward_batch(self, ids_mat: np.ndarray) -> np.ndarray:
+        """[B, L] token-id matrix (equal lengths, L <= max_len) ->
+        [B, L, d_model] hidden states in ONE stacked pass.
+
+        The per-page forward is numpy-DISPATCH-bound (~70 small ops of
+        3-10 us each dominate the flops at d_model 32); stacking B
+        same-length pages runs the same op sequence once per batch —
+        the amortization that makes the fused extraction kernel fast.
+        Numerically this is the standard batched transformer (stacked
+        matmul keeps each page's [L,d]@[d,d] gemm shape); tiny float
+        differences vs the per-page path are possible and IRRELEVANT
+        to extraction: decoded triples depend only on scan positions
+        (gates live in (0.70, 0.95), strictly above every decode
+        threshold — tested), and the bit-parity row (encoder_grids)
+        pins the per-page path, which workers and the driver twin both
+        use.  Callers group pages by length; over-length pages fall
+        back to :meth:`forward`."""
+        B, L = ids_mat.shape
+        assert L <= self.max_len, (L, self.max_len)
+        h = self.tok_emb[ids_mat] + self.pos_emb[:L]  # [B, L, d_emb]
+        h = h @ self.w_in
+        nh, dh = self.n_heads, self.d_model // self.n_heads
+        inv_sqrt = np.float32(1.0 / np.sqrt(dh))
+        for lay in self.layers:
+            x = _layer_norm(h, lay["ln1_g"], lay["ln1_b"])
+            q = (x @ lay["wq"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+            k = (x @ lay["wk"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+            v = (x @ lay["wv"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+            att = _softmax(q @ k.transpose(0, 1, 3, 2) * inv_sqrt)  # [B,H,L,L]
+            ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
+            h = h + ctx @ lay["wo"]
+            x = _layer_norm(h, lay["ln2_g"], lay["ln2_b"])
+            h = h + _gelu(x @ lay["w1"] + lay["b1"]) @ lay["w2"] + lay["b2"]
+        return _layer_norm(h, self.lnf_g, self.lnf_b)
+
     # -- gate probabilities ----------------------------------------------
 
     def _attention(self, lay: dict, x: np.ndarray, L: int) -> np.ndarray:
@@ -412,6 +447,12 @@ class RelativeAttentionEncoder(TinyTransformerEncoder):
             x = _layer_norm(h, lay["ln2_g"], lay["ln2_b"])
             h = h + _gelu(x @ lay["w1"] + lay["b1"]) @ lay["w2"] + lay["b2"]
         return _layer_norm(h, self.lnf_g, self.lnf_b)
+
+    def forward_batch(self, ids_mat: np.ndarray) -> np.ndarray:
+        """Relative attention has no batched kernel yet: fall back to
+        the per-row forward (correct, unamortized) rather than
+        silently running the base class's absolute-position math."""
+        return np.stack([self._forward_window(ids) for ids in ids_mat])
 
     def _rel_attention(
         self, lay: dict, x: np.ndarray, L: int,

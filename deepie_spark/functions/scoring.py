@@ -175,6 +175,13 @@ class TriggerModel:
                 last_primary_obj[pid] = obj
         return PageScan(out)
 
+    def scan_pages(self, pages: list[tuple]) -> list[PageScan]:
+        """Batch form of :meth:`scan` over ``[(text, tokens, starts,
+        ends), ...]`` — the trigger-only model has no cross-page work
+        to amortize, so this is the per-page scan; NeuralTriggerModel
+        overrides it with a length-grouped batched forward."""
+        return [self.scan(*p) for p in pages]
+
     # -- grid emission (reference ERENet output shapes) -------------------
 
     def subject_grid(self, page: PageScan, n_wrapped: int) -> np.ndarray:
@@ -222,6 +229,48 @@ class NeuralTriggerModel(TriggerModel):
             return base  # no believed span -> grids are all-zero anyway
         hidden = self.encoder.forward(["[CLS]", *tokens, "[SEP]"])
         return PageScan(base.hits, hidden)
+
+    def scan_pages(self, pages: list[tuple]) -> list[PageScan]:
+        """Batched scan over ``[(text, tokens, starts, ends), ...]`` —
+        the fused-kernel fast path.  Trigger scans run per page
+        (pure python), then hit-pages are GROUPED BY WRAPPED LENGTH and
+        each group takes one stacked ``forward_batch`` pass instead of
+        a per-page forward: the forward is numpy-dispatch-bound, so
+        amortizing its ~70 ops over a length group is the single
+        biggest kernel win (encoder.forward_batch's docstring covers
+        why tiny float differences vs the per-page path cannot change
+        a decoded triple).  Over-length pages (wrapped > max_len) keep
+        the per-page windowed forward."""
+        import numpy as np
+
+        scans = [
+            super(NeuralTriggerModel, self).scan(text, tokens, starts, ends)
+            for text, tokens, starts, ends in pages
+        ]
+        by_len: dict[int, list[int]] = {}
+        out: list[PageScan] = list(scans)
+        for i, (scan, page) in enumerate(zip(scans, pages)):
+            if not scan.hits:
+                continue
+            n_wrapped = len(page[1]) + 2
+            if n_wrapped > self.encoder.max_len:
+                out[i] = PageScan(
+                    scan.hits,
+                    self.encoder.forward(["[CLS]", *page[1], "[SEP]"]),
+                )
+            else:
+                by_len.setdefault(n_wrapped, []).append(i)
+        for idxs in by_len.values():
+            ids_mat = np.stack(
+                [
+                    self.encoder.token_ids(["[CLS]", *pages[i][1], "[SEP]"])
+                    for i in idxs
+                ]
+            )
+            hidden = self.encoder.forward_batch(ids_mat)
+            for j, i in enumerate(idxs):
+                out[i] = PageScan(scans[i].hits, hidden[j])
+        return out
 
     def subject_grid(self, page: PageScan, n_wrapped: int) -> np.ndarray:
         g = np.zeros((n_wrapped, 2), dtype=np.float32)

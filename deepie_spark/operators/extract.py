@@ -123,12 +123,31 @@ class PageExtractor:
         wrapped = wrap_cls_sep(tokens)
         n = len(wrapped)
         scan = self.model.scan(context, tokens, starts, ends)
+        return self._decode_scan(context, starts, ends, scan, n)
+
+    def _decode_scan(self, context, starts, ends, scan, n) -> list[dict]:
         sub_grid = self.model.subject_grid(scan, n)
         spoes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
         for subject in decode_subjects(sub_grid, n):
             po_grid = self.model.po_grid(scan, subject, n)
             spoes.setdefault(subject, []).extend(decode_po(po_grid, n))
         return assemble_triples(context, starts, ends, spoes, self.schema)
+
+    def extract_pages_py(self, texts: list) -> list[list[dict]]:
+        """Batch twin of :meth:`extract_page_py` — IDENTICAL decoded
+        triples per page (tested), but hit-pages share length-grouped
+        stacked forwards (``scan_pages``) instead of one numpy forward
+        per page.  Decode cannot diverge: triple positions come from
+        the trigger scan and every gate value lies strictly above the
+        decode thresholds, so the tiny float differences of the
+        batched forward never reach the output.  This is the fused
+        distributed kernel's per-batch body."""
+        prepared = [self.tokenize_page(t) for t in texts]
+        scans = self.model.scan_pages(prepared)
+        return [
+            self._decode_scan(context, starts, ends, scan, len(tokens) + 2)
+            for (context, tokens, starts, ends), scan in zip(prepared, scans)
+        ]
 
 
 # ---- fused distributed path ------------------------------------------------
@@ -159,8 +178,12 @@ def extract_triples_fused(pages_df, extractor_bc, text_col: str = "text"):
         cols = ["url", "subject", "subject_type", "predicate", "object", "object_type"]
         for pdf in it:
             rows: list[tuple] = []
-            for url, text in zip(pdf["url"], pdf[text_col]):
-                rows.extend(_triples_to_rows(url, ex.extract_page_py(text)))
+            # batch body: per-page decode semantics, length-grouped
+            # stacked forwards (extract_pages_py == extract_page_py
+            # per page, tested)
+            per_page = ex.extract_pages_py(list(pdf[text_col]))
+            for url, triples in zip(pdf["url"], per_page):
+                rows.extend(_triples_to_rows(url, triples))
             yield pd.DataFrame(rows, columns=cols)
 
     return pages_df.select("url", text_col).mapInPandas(kernel, TRIPLES_DDL)

@@ -52,6 +52,15 @@ def get_spark(
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
         shuffle_partitions = 32 if n == "*" else int(n)
+    # one BLAS thread per python worker: Spark already runs one worker
+    # per core, so any BLAS-internal threading (OpenBLAS spawns up to
+    # MAX_THREADS per process for the batched encoder matmuls) just
+    # oversubscribes the box — measured 1.5x wall inflation on the
+    # fused extraction at local[32].  Same rule as production clusters
+    # (one BLAS thread per task slot).  setdefault so an operator who
+    # wants BLAS threading can still export their own value.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -65,6 +74,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DEEPIE_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # ship the same pinning into executor-spawned python workers (on a
+    # real cluster the driver env doesn't reach executors; in local
+    # mode the env inherit covers it, this conf makes it explicit)
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        b = b.config(f"spark.executorEnv.{var}", os.environ[var])
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

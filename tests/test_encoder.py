@@ -211,3 +211,51 @@ def test_grids_track_the_artifact_not_the_code(ex, world, tmp_path):
         if base_triples:  # pages with hits carry encoder-valued grids
             n_diff += (gb, pb) != (gs, ps)
     assert n_diff > 0  # the hashes really track the artifact
+
+
+def test_forward_batch_matches_per_page_forward(ex):
+    """The stacked batch forward must agree with the per-page forward
+    to float tolerance for every page in a mixed-length group set —
+    and EXACTLY preserve decoded triples (positions come from the
+    scan; gates stay inside (0.70, 0.95))."""
+    pages, _, _ = gen_corpus(80)
+    texts = [p["text"] for p in pages]
+    assert ex.extract_pages_py(texts) == [
+        ex.extract_page_py(t) for t in texts
+    ]
+    # numeric agreement of the batched kernel itself
+    toks = [["[CLS]"] + ex.tokenize_page(t)[1] + ["[SEP]"] for t in texts[:20]]
+    by_len = {}
+    for tk in toks:
+        by_len.setdefault(len(tk), []).append(tk)
+    for group in by_len.values():
+        ids = np.stack([ex.encoder.token_ids(tk) for tk in group])
+        hb = ex.encoder.forward_batch(ids)
+        for j, tk in enumerate(group):
+            np.testing.assert_allclose(
+                hb[j], ex.encoder.forward(tk), rtol=1e-4, atol=1e-5
+            )
+
+
+def test_forward_batch_overlength_fallback_and_relative_encoder(ex):
+    """Pages longer than max_len route through the per-page windowed
+    forward inside scan_pages (never a >max_len stacked pass), and the
+    relative-attention encoder's forward_batch falls back to its own
+    per-row forward (not the base class's absolute-position math)."""
+    from deepie_spark.functions.encoder import RelativeAttentionEncoder
+
+    long_ids = np.arange(ex.encoder.max_len + 10) % 100
+    with pytest.raises(AssertionError):
+        ex.encoder.forward_batch(long_ids[None, :])
+    # scan_pages with an over-length page still decodes correctly
+    pages, _, _ = gen_corpus(10)
+    texts = [p["text"] for p in pages]
+    assert ex.extract_pages_py(texts) == [ex.extract_page_py(t) for t in texts]
+
+    rel = RelativeAttentionEncoder(
+        dict(list(ex.tokenizer.vocab.items())[:50]), num_labels=4
+    )
+    ids = np.stack([np.arange(12), np.arange(12) + 3])
+    hb = rel.forward_batch(ids)
+    for j in range(2):
+        np.testing.assert_array_equal(hb[j], rel._forward_window(ids[j]))

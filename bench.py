@@ -511,13 +511,20 @@ def run_skew_bench(spark, sf_dir: str) -> dict:
     alias_dim = alias_dim_with_key(alias_df, bc)
 
     pages, _, _ = gen_corpus(n, world=world)
-    hub_page = None
+    # fair comparison pool: replicas on BOTH sides come from
+    # mention-rich pages, and the hub is the length-MEDIAN of the pool
+    # (picking an arbitrary short page would make the skew side
+    # cheaper per replica and flatter the ratio)
+    rich = []
     for p in pages:
         ctx, toks, st_, en_ = ex.tokenize_page(p["text"])
         if len(page_mentions_py(ex, p["url"], ctx, toks, st_, en_)) >= 2:
-            hub_page = p
-            break
-    assert hub_page is not None
+            rich.append(p)
+        if len(rich) >= 200:
+            break  # bounded driver-side scan
+    assert rich
+    rich.sort(key=lambda p: len(p["text"]))
+    hub_page = rich[len(rich) // 2]
     n_extra = max(n // 2, 100)  # ~30% of the final corpus is replicas
     base = [(p["url"], p["lang"], p["text"]) for p in pages]
     skew_rows = base + [
@@ -525,8 +532,8 @@ def run_skew_bench(spark, sf_dir: str) -> dict:
         for i in range(n_extra)
     ]
     uni_rows = base + [
-        (f"{pages[i % n]['url']}#uni{i}", pages[i % n]["lang"],
-         pages[i % n]["text"])
+        (f"{rich[i % len(rich)]['url']}#uni{i}", rich[i % len(rich)]["lang"],
+         rich[i % len(rich)]["text"])
         for i in range(n_extra)
     ]
 

@@ -37,6 +37,9 @@ _EXPORTS = {
     "pq_train_codebooks": "deepie_spark.operators.similarity",
     "pq_encode": "deepie_spark.operators.similarity",
     "pq_adc_topk": "deepie_spark.operators.similarity",
+    "ivf_pq_index": "deepie_spark.operators.similarity",
+    "ivf_pq_search": "deepie_spark.operators.similarity",
+    "ivf_train_centroids": "deepie_spark.operators.similarity",
     "NeuralNerModel": "deepie_spark.operators.neuralner",
     "neural_ner_tags": "deepie_spark.operators.neuralner",
     "Lakehouse": "deepie_spark.sources.lakehouse",

@@ -13,7 +13,12 @@ Prints ONE JSON line:
   can be wrong by 40x, BENCH_r02's mentions_trie was);
 - kg_pipeline: the full checkpointed pipeline (pages -> triples ->
   linked -> canonical -> MERGE) end-to-end into a fresh lakehouse;
-- scaling: the north rule's N -> 4N evidence (see below).
+- scaling: the north rule's N -> 4N evidence, measured at TWO pairs:
+  8 -> 32 (primary, with full host decomposition) and 2 -> 8 (same
+  job and shape, below the shared host's all-core turbo/steal cliff —
+  the busy-loop probe itself scales as low as 0.65 at 8 -> 32 in a
+  bad hour, capping any engine's raw number; a real 4N-executor
+  cluster adds machines, not contended sibling cores).
 
 Scaling methodology (the 8 -> 32 measurement)
 ---------------------------------------------
@@ -166,11 +171,15 @@ SCALING_REPLICATE = int(os.environ.get("DEEPIE_SCALING_REPLICATE", "256"))
 # (the scaling ratio is replicate-invariant — same job, same skew)
 SCALING_LEVELS = (8, 32)  # the north rule's N -> 4N pair
 SCALING_ROUNDS = int(os.environ.get("DEEPIE_SCALING_ROUNDS", "5"))
-# ~2 MB splits -> ~4-9 waves at 32 cores on the replicated corpus:
-# enough waves that one straggler task doesn't extend the whole job
-# (measured: 0.926 occupancy vs 0.909 at 1 wave)
+# ~16 MB splits -> ~90 tasks (~3 waves at 32 cores) on the replicated
+# corpus: still enough waves that one straggler doesn't extend the
+# job, but 8x fewer tasks than the old 2 MB setting — with the batched
+# extraction kernel the per-task JVM+Arrow setup became the dominant
+# NON-scaling cost (32-core wall measured 160 s at 2 MB splits vs
+# 117-120 s at 16-32 MB in the same hour; the python kernel itself
+# scales at 0.88 engine-free)
 SCALING_SPLIT_CONF = {
-    "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.ui.enabled": "true",  # REST API for task metrics
 }
@@ -319,11 +328,14 @@ def flagship_only(cpus: int) -> None:
     }))
 
 
-def _run_level(cpus: int) -> dict:
+def _run_level(cpus: int, replicate: int | None = None) -> dict:
+    env = dict(os.environ)
+    if replicate is not None:
+        env["DEEPIE_SCALING_REPLICATE"] = str(replicate)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--flagship", str(cpus)],
-        capture_output=True, text=True, timeout=1800,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True, text=True, timeout=2400,
+        cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -336,7 +348,13 @@ SCALING_TARGET = 0.8  # BASELINE.md north-rule gate
 SCALING_MIN_VALID_PAIRS = int(os.environ.get("DEEPIE_SCALING_MIN_VALID", "3"))
 
 
-def run_scaling() -> dict:
+def run_scaling(
+    levels: tuple[int, int] = SCALING_LEVELS,
+    replicate: int | None = None,
+    max_rounds: int | None = None,
+    budget_s: int | None = None,
+    min_valid: int | None = None,
+) -> dict:
     """Interleaved N/4N rounds + engine-free probes (see module doc).
 
     Stopping rule: keep sampling until the running MEDIAN of pair
@@ -352,15 +370,19 @@ def run_scaling() -> dict:
     outside [0.7, 1.43]) measured two different machines, not scaling;
     the median over weather-valid pairs is reported alongside the raw
     median so neighbor noise is isolated rather than averaged in."""
-    lo, hi = SCALING_LEVELS
+    lo, hi = levels
+    replicate = SCALING_REPLICATE if replicate is None else replicate
+    max_rounds = SCALING_ROUNDS if max_rounds is None else max_rounds
+    budget_s = SCALING_TIME_BUDGET_S if budget_s is None else budget_s
+    min_valid = SCALING_MIN_VALID_PAIRS if min_valid is None else min_valid
     rounds = []
     t_start = time.time()
-    for i in range(SCALING_ROUNDS):
-        pair = {c: _run_level(c) for c in SCALING_LEVELS}
+    for i in range(max_rounds):
+        pair = {c: _run_level(c, replicate) for c in levels}
         thr = {c: pair[c]["triples"] / pair[c]["sec"] for c in pair}
         pair["eff"] = round(thr[hi] / (hi // lo) / thr[lo], 3)
         percore = {
-            c: pair[c]["probe_mcounts"] / c for c in SCALING_LEVELS
+            c: pair[c]["probe_mcounts"] / c for c in levels
         }
         pair["weather_ratio"] = round(percore[hi] / percore[lo], 3)
         pair["weather_ok"] = 0.7 <= pair["weather_ratio"] <= 1.43
@@ -377,14 +399,14 @@ def run_scaling() -> dict:
         # early only once >=3 weather-valid pairs exist AND their
         # median clears the gate
         if (
-            n_valid >= SCALING_MIN_VALID_PAIRS
+            n_valid >= min_valid
             and statistics.median(
                 [r["eff"] for r in rounds if r["weather_ok"]]
             ) >= SCALING_TARGET
             and statistics.median(effs_so_far) >= SCALING_TARGET
         ):
             break
-        if time.time() - t_start > SCALING_TIME_BUDGET_S and i + 1 >= 2:
+        if time.time() - t_start > budget_s and i + 1 >= 2:
             print("scaling: time budget spent", file=sys.stderr, flush=True)
             break
     effs = [r["eff"] for r in rounds]
@@ -392,36 +414,36 @@ def run_scaling() -> dict:
     best_round = max(rounds, key=lambda r: r["eff"])
     # best-of-rounds per level (the least-throttled estimate of each
     # level, like best-of-3 wall times elsewhere in this file)
-    best_sec = {c: min(r[c]["sec"] for r in rounds) for c in SCALING_LEVELS}
+    best_sec = {c: min(r[c]["sec"] for r in rounds) for c in levels}
     thr_best = {
-        c: rounds[0][c]["triples"] / best_sec[c] for c in SCALING_LEVELS
+        c: rounds[0][c]["triples"] / best_sec[c] for c in levels
     }
-    kernel = _kernel_probe()
+    kernel = _kernel_probe(levels=levels)
     probe = {
         str(c): max(r[c]["probe_mcounts"] for r in rounds)
-        for c in SCALING_LEVELS
+        for c in levels
     }
     probe_eff = round(
         probe[str(hi)] / (hi // lo) / probe[str(lo)], 3
     )
     occ = {
-        str(c): max(r[c]["occupancy"] for r in rounds) for c in SCALING_LEVELS
+        str(c): max(r[c]["occupancy"] for r in rounds) for c in levels
     }
     core_sec = {
-        str(c): min(r[c]["core_sec"] for r in rounds) for c in SCALING_LEVELS
+        str(c): min(r[c]["core_sec"] for r in rounds) for c in levels
     }
     eff_best_pair = best_round["eff"]
     scal = {
         "job": (
             f"flagship extraction, {rounds[0][hi]['triples']} triples "
-            f"({SCALING_REPLICATE}x replicated corpus, same input both "
+            f"({replicate}x replicated corpus, same input both "
             f"levels, levels interleaved per round so each pair samples "
             f"the same host weather)"
         ),
-        "sec": {c: best_round[c]["sec"] for c in SCALING_LEVELS},
+        "sec": {c: best_round[c]["sec"] for c in levels},
         "rounds": [
             {
-                "sec": {str(c): r[c]["sec"] for c in SCALING_LEVELS},
+                "sec": {str(c): r[c]["sec"] for c in levels},
                 "eff": r["eff"],
                 "weather_ratio": r["weather_ratio"],
                 "weather_ok": r["weather_ok"],
@@ -430,7 +452,7 @@ def run_scaling() -> dict:
         ],
         "triples_per_sec": {
             c: round(rounds[0][c]["triples"] / best_round[c]["sec"], 1)
-            for c in SCALING_LEVELS
+            for c in levels
         },
         # headline: best same-weather pair (cleanest window); median of
         # pairs shown alongside so the spread is visible
@@ -616,9 +638,10 @@ def main() -> None:
     queries["flagship_triples"] = round(fsec, 3)
     tph = n_triples / fsec * 3600.0
     if "--no-scaling" not in sys.argv:
-        # materialize the replicated scaling corpus at full parallelism
-        # so neither timed subprocess pays the one-time write
+        # materialize the replicated scaling corpora at full parallelism
+        # so no timed subprocess pays the one-time write
         _pages_parquet(spark, SF_DIR, SCALING_REPLICATE)
+        _pages_parquet(spark, SF_DIR, 64)
 
     print(f"flagship: {fsec:.1f}s", file=sys.stderr, flush=True)
     qmap = em.queries()
@@ -658,6 +681,16 @@ def main() -> None:
 
     if "--no-scaling" not in sys.argv:
         result["scaling"] = run_scaling()
+        # second N -> 4N pair at 2 -> 8 cores: same job, same shape,
+        # below this shared host's all-core turbo/steal cliff (the
+        # busy-loop probe itself only scales 0.65-0.87 at 8 -> 32 in a
+        # bad hour, capping ANY engine's raw number there; a real 4N-
+        # executor cluster adds machines, not contended sibling cores).
+        # Smaller replicate keeps the 2-core leg ~6 min; the ratio is
+        # replicate-invariant.
+        result["scaling_2_to_8"] = run_scaling(
+            levels=(2, 8), replicate=64, max_rounds=3, budget_s=1500,
+        )
 
     print(json.dumps(result))
 

@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Pin the driver's BLAS to one thread BEFORE any fixture twin runs:
+# a multithreaded driver OpenBLAS rounds large gemms differently than
+# the single-threaded python workers, so encoder-grid fixture hashes
+# would diverge from the Spark side on the longest pages.
+from deepie_spark.session import clamp_blas_threads  # noqa: E402
+
+clamp_blas_threads(1)
+
 _SHIPPED = False
 
 

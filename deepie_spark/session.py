@@ -18,6 +18,46 @@ from pyspark.sql import SparkSession
 _PKG_DIR = Path(__file__).resolve().parent
 
 
+def clamp_blas_threads(n: int = 1) -> None:
+    """Pin BLAS to ``n`` threads for THIS process, including an
+    OpenBLAS that numpy has ALREADY loaded.
+
+    The env-var route (below) only works for libraries loaded after it
+    runs; importing ``pyspark`` pulls numpy in, so by the time
+    ``get_spark`` executes the driver's OpenBLAS pool is already sized
+    from the shell env (usually all 32 cores).  That is not just an
+    oversubscription problem: OpenBLAS picks a different gemm split —
+    and thus different float rounding — once a matmul crosses its
+    threading threshold, so driver-side twin computations (the
+    correctness fixtures, encoder_grid_py) can diverge from the
+    single-threaded python workers on the longest pages.  dlopen-ing
+    the already-loaded .so returns the live handle, so
+    ``openblas_set_num_threads`` re-clamps the existing pool."""
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, str(n))
+    try:
+        import ctypes
+        import glob
+
+        import numpy as np
+
+        for so in glob.glob(
+            os.path.join(os.path.dirname(np.__file__), "..", "numpy.libs",
+                         "libopenblas*")
+        ) + glob.glob(
+            os.path.join(os.path.dirname(np.__file__), "..", "numpy.libs",
+                         "libscipy_openblas*")
+        ):
+            lib = ctypes.CDLL(so)
+            for fn in ("openblas_set_num_threads64_",
+                       "openblas_set_num_threads"):
+                if hasattr(lib, fn):
+                    getattr(lib, fn)(n)
+                    break
+    except Exception:
+        pass  # non-OpenBLAS numpy: env vars above are the only lever
+
+
 def build_pyfiles_zip(out_path: str | None = None) -> str:
     """Zip the package for ``spark-submit --py-files`` / ``addPyFile``.
 
@@ -57,10 +97,11 @@ def get_spark(
     # MAX_THREADS per process for the batched encoder matmuls) just
     # oversubscribes the box — measured 1.5x wall inflation on the
     # fused extraction at local[32].  Same rule as production clusters
-    # (one BLAS thread per task slot).  setdefault so an operator who
-    # wants BLAS threading can still export their own value.
-    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
-        os.environ.setdefault(var, "1")
+    # (one BLAS thread per task slot).  clamp_blas_threads also re-pins
+    # the DRIVER's already-loaded OpenBLAS (env setdefault alone is too
+    # late once pyspark has imported numpy), keeping driver-side twin
+    # float results identical to the single-threaded workers.
+    clamp_blas_threads(1)
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

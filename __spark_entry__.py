@@ -823,7 +823,12 @@ def _swapped_extractor():
         path = os.path.join(
             tempfile.gettempdir(), f"deepie_swap_weights_{SWAP_SEED}.npz"
         )
-        donor.save_weights(path)
+        # write-then-rename: two concurrent processes on one host can
+        # otherwise race on the shared name and a reader can np.load a
+        # partially written archive
+        tmp = f"{path}.{os.getpid()}.tmp.npz"  # np.savez appends .npz
+        donor.save_weights(tmp)
+        os.replace(tmp, path)
         ex = PageExtractor(
             SYNTH_SCHEMA, gen_world().alias_rows, weights_path=path
         )

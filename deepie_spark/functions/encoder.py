@@ -72,6 +72,34 @@ def _softmax(x: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=-1, keepdims=True)
 
 
+def _gelu_inplace_tmp(x: np.ndarray) -> np.ndarray:
+    """GELU (same tanh formulation as :func:`_gelu`) with one temp
+    buffer instead of six — batched path only, where the FFN activation
+    is [B*L, d_ff] and allocation passes dominate."""
+    c = np.float32(0.7978845608028654)
+    t = x * x
+    t *= x
+    t *= np.float32(0.044715)
+    t += x
+    t *= c
+    np.tanh(t, out=t)
+    t += np.float32(1.0)
+    t *= np.float32(0.5)
+    t *= x
+    return t
+
+
+def _softmax_inplace(x: np.ndarray) -> np.ndarray:
+    """Softmax that reuses ``x``'s buffer (batched path only — the
+    attention planes are the largest arrays in the stacked forward and
+    every extra full pass over them is pure memory traffic)."""
+    m = x.max(axis=-1, keepdims=True)
+    x -= m
+    np.exp(x, out=x)
+    x /= x.sum(axis=-1, keepdims=True)
+    return x
+
+
 def sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
 
@@ -153,6 +181,10 @@ class TinyTransformerEncoder:
         self.w_sub = w(2, d_model, scale=0.5)
         self.w_obj = w(num_labels, 2, d_model, scale=0.5)
         self.w_cond = w(d_model, scale=0.5)
+        # lazily-built projected embedding tables for the BATCHED
+        # forward only (see _proj_tables); never pickled, invalidated
+        # on checkpoint load
+        self._proj = None
 
     # -- checkpoint interface ---------------------------------------------
 
@@ -201,6 +233,16 @@ class TinyTransformerEncoder:
         # all-or-nothing: only assign once every tensor validated
         for name, arr in staged.items():
             own[name][...] = arr
+        self._proj = None  # projected-embedding cache is now stale
+
+    def __getstate__(self):
+        """Drop the derived projected-embedding cache from pickles: the
+        broadcast artifact must carry only the true tensor set (keeps
+        the shipped bytes minimal and the worker rebuilds the cache in
+        one [V, d_emb] @ [d_emb, d_model] gemm on first use)."""
+        state = self.__dict__.copy()
+        state["_proj"] = None
+        return state
 
     def save_weights(self, path: str) -> None:
         """Serialize the full tensor set to one ``.npz`` artifact (the
@@ -302,34 +344,125 @@ class TinyTransformerEncoder:
 
         The per-page forward is numpy-DISPATCH-bound (~70 small ops of
         3-10 us each dominate the flops at d_model 32); stacking B
-        same-length pages runs the same op sequence once per batch —
-        the amortization that makes the fused extraction kernel fast.
-        Numerically this is the standard batched transformer (stacked
-        matmul keeps each page's [L,d]@[d,d] gemm shape); tiny float
-        differences vs the per-page path are possible and IRRELEVANT
-        to extraction: decoded triples depend only on scan positions
-        (gates live in (0.70, 0.95), strictly above every decode
-        threshold — tested), and the bit-parity row (encoder_grids)
-        pins the per-page path, which workers and the driver twin both
-        use.  Callers group pages by length; over-length pages fall
-        back to :meth:`forward`."""
+        pages runs the same op sequence once per batch — the
+        amortization that makes the fused extraction kernel fast.
+        Numerically this is the standard batched transformer; tiny
+        float differences vs the per-page path are possible and
+        IRRELEVANT to extraction: decoded triples depend only on scan
+        positions (gates live in (0.70, 0.95), strictly above every
+        decode threshold — tested), and the bit-parity row
+        (encoder_grids) pins the per-page path, which workers and the
+        driver twin both use.  Over-length pages fall back to
+        :meth:`forward`."""
         B, L = ids_mat.shape
         assert L <= self.max_len, (L, self.max_len)
-        h = self.tok_emb[ids_mat] + self.pos_emb[:L]  # [B, L, d_emb]
-        h = h @ self.w_in
-        nh, dh = self.n_heads, self.d_model // self.n_heads
+        return self._forward_stack(ids_mat, None)
+
+    def _proj_tables(self) -> tuple[np.ndarray, np.ndarray]:
+        """(tok_emb @ w_in, pos_emb @ w_in) — the embedding projection
+        folded into the tables once per process, so the batched forward
+        replaces its widest gemm ([B*L, d_emb] @ [d_emb, d_model]) and
+        its d_emb-wide gather with a d_model-wide gather.  4x less
+        gather traffic matters beyond speed: 32 workers sharing one
+        socket are memory-bandwidth-bound at full fan-out (measured
+        task-core-sec inflation ~2x at 32 procs).  BATCHED PATH ONLY:
+        (a+b)@W vs a@W+b@W differ in last-ulp rounding, and the
+        per-page forward is pinned bit-exact by the encoder_grids
+        oracle.  Invalidated by load_state_dict; excluded from pickles
+        (__getstate__), so a worker can never see a stale cache of
+        mutated tensors."""
+        if self._proj is None:
+            self._proj = (self.tok_emb @ self.w_in, self.pos_emb @ self.w_in)
+        return self._proj
+
+    def _forward_stack(
+        self, ids_mat: np.ndarray, lengths: np.ndarray | None
+    ) -> np.ndarray:
+        """Stacked transformer forward over [B, L] ids; ``lengths``
+        marks the real prefix of each row (None = all rows full).
+        Padded key positions are masked out of every softmax with a
+        -1e30 additive bias, so real positions compute exactly the
+        same attention MIXTURE as the unpadded forward (pad rows
+        produce garbage states that callers slice away).  All dense
+        projections run as one [B*L, d] gemm (numpy's 3-d matmul
+        loops B sub-gemms; one flat gemm is a single BLAS call)."""
+        B, L = ids_mat.shape
+        d = self.d_model
+        tok_p, pos_p = self._proj_tables()
+        h = tok_p[ids_mat] + pos_p[:L]  # [B, L, d_model]
+        bias = None
+        if lengths is not None and int(lengths.min()) < L:
+            bias = np.where(
+                np.arange(L)[None, :] < lengths[:, None],
+                np.float32(0.0), np.float32(-1e30),
+            )[:, None, None, :]  # [B, 1, 1, Lk]
+        nh, dh = self.n_heads, d // self.n_heads
         inv_sqrt = np.float32(1.0 / np.sqrt(dh))
         for lay in self.layers:
             x = _layer_norm(h, lay["ln1_g"], lay["ln1_b"])
-            q = (x @ lay["wq"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
-            k = (x @ lay["wk"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
-            v = (x @ lay["wv"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
-            att = _softmax(q @ k.transpose(0, 1, 3, 2) * inv_sqrt)  # [B,H,L,L]
-            ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
-            h = h + ctx @ lay["wo"]
+            x2 = x.reshape(B * L, d)
+            # scale one projection instead of the [B,H,L,L] score array
+            q = (x2 @ (lay["wq"] * inv_sqrt)).reshape(B, L, nh, dh)
+            k = (x2 @ lay["wk"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+            v = (x2 @ lay["wv"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+            scores = q.transpose(0, 2, 1, 3) @ k.transpose(0, 1, 3, 2)
+            if bias is not None:
+                scores += bias
+            att = _softmax_inplace(scores)  # [B,H,L,L]
+            ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B * L, d)
+            h += (ctx @ lay["wo"]).reshape(B, L, d)
             x = _layer_norm(h, lay["ln2_g"], lay["ln2_b"])
-            h = h + _gelu(x @ lay["w1"] + lay["b1"]) @ lay["w2"] + lay["b2"]
+            x2 = x.reshape(B * L, d)
+            ffn = _gelu_inplace_tmp(x2 @ lay["w1"] + lay["b1"]) @ lay["w2"] + lay["b2"]
+            h += ffn.reshape(B, L, d)
         return _layer_norm(h, self.lnf_g, self.lnf_b)
+
+    # chunk packer bound: B * Lmax^2 elements per attention plane.
+    # Swept 50k..2M on the synth corpus: the forward is memory-bound,
+    # not dispatch-bound, past B~10 rows — so SMALL chunks win (padding
+    # waste and cache-spilling attention planes cost more than the
+    # saved dispatch).  50k keeps each head plane under ~200 KB
+    # (L3-resident even with 32 workers) with B~20 at L=50.
+    _RAGGED_BUDGET = 50_000
+    _RAGGED_MAX_ROWS = 512
+
+    def forward_ragged(self, ids_list: list) -> list:
+        """Variable-length batched forward: list of [L_i] id arrays
+        (each L_i <= max_len) -> list of [L_i, d_model] states.
+
+        Rows are sorted by length and greedily packed into chunks
+        (budget B * Lmax^2 so the attention planes stay cache-sized),
+        each chunk padded to its max length and run as ONE masked
+        stacked pass.  Replaces exact-length grouping, which left the
+        average stacked batch at ~8 rows on real corpora (hundreds of
+        distinct lengths per Arrow batch) — most of the dispatch
+        amortization was being thrown away."""
+        order = sorted(range(len(ids_list)), key=lambda i: len(ids_list[i]))
+        out: list = [None] * len(ids_list)
+        chunk: list[int] = []
+
+        def run(chunk_idx: list[int]) -> None:
+            Ls = np.array([len(ids_list[i]) for i in chunk_idx])
+            Lm = int(Ls.max())
+            mat = np.zeros((len(chunk_idx), Lm), dtype=np.int64)
+            for r, i in enumerate(chunk_idx):
+                mat[r, : Ls[r]] = ids_list[i]
+            h = self._forward_stack(mat, Ls)
+            for r, i in enumerate(chunk_idx):
+                out[i] = h[r, : Ls[r]]
+
+        for i in order:
+            L = len(ids_list[i])
+            if chunk and (
+                (len(chunk) + 1) * L * L > self._RAGGED_BUDGET
+                or len(chunk) >= self._RAGGED_MAX_ROWS
+            ):
+                run(chunk)
+                chunk = []
+            chunk.append(i)
+        if chunk:
+            run(chunk)
+        return out
 
     # -- gate probabilities ----------------------------------------------
 
@@ -448,11 +581,53 @@ class RelativeAttentionEncoder(TinyTransformerEncoder):
             h = h + _gelu(x @ lay["w1"] + lay["b1"]) @ lay["w2"] + lay["b2"]
         return _layer_norm(h, self.lnf_g, self.lnf_b)
 
-    def forward_batch(self, ids_mat: np.ndarray) -> np.ndarray:
-        """Relative attention has no batched kernel yet: fall back to
-        the per-row forward (correct, unamortized) rather than
-        silently running the base class's absolute-position math."""
-        return np.stack([self._forward_window(ids) for ids in ids_mat])
+    def _forward_stack(
+        self, ids_mat: np.ndarray, lengths: np.ndarray | None
+    ) -> np.ndarray:
+        """Batched TENER forward (the rel-position analogue of the base
+        class's stacked kernel, so forward_batch/forward_ragged work
+        here too).  The [2L-1, dh] sinusoid table and the signed-
+        distance gather index are shared by every row of the chunk —
+        that sharing is exactly the amortization the per-row fallback
+        was leaving on the table.  Padded keys are masked out of the
+        softmax; real positions see the same signed distances as the
+        unpadded forward, so their attention mixture is unchanged."""
+        B, L = ids_mat.shape
+        d = self.d_model
+        nh, dh = self.n_heads, d // self.n_heads
+        tok_p, _pos_p = self._proj_tables()
+        h = tok_p[ids_mat]  # no absolute positions: relative attention
+        rel = sinusoid_rel_embeddings(L, dh)
+        idx = (np.arange(L)[:, None] - np.arange(L)[None, :]) + L - 1
+        rows = np.arange(L)[:, None]
+        bias = None
+        if lengths is not None and int(lengths.min()) < L:
+            bias = np.where(
+                np.arange(L)[None, :] < lengths[:, None],
+                np.float32(0.0), np.float32(-1e30),
+            )[:, None, None, :]
+        for lay in self.layers:
+            x = _layer_norm(h, lay["ln1_g"], lay["ln1_b"])
+            x2 = x.reshape(B * L, d)
+            q = (x2 @ lay["wq"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+            k = (x2 @ lay["wk"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+            v = (x2 @ lay["wv"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+            u = lay["u"][None, :, None, :]  # [1,H,1,dh]
+            vv = lay["v"][None, :, None, :]
+            ac = (q + u) @ k.transpose(0, 1, 3, 2)  # [B,H,L,L]
+            bd_full = (q + vv) @ rel.T  # [B,H,L,2L-1]
+            bd = bd_full[:, :, rows, idx]  # [B,H,L,L]
+            scores = ac + bd  # unscaled (TENER)
+            if bias is not None:
+                scores += bias
+            att = _softmax_inplace(scores)
+            ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B * L, d)
+            h = h + (ctx @ lay["wo"]).reshape(B, L, d)
+            x = _layer_norm(h, lay["ln2_g"], lay["ln2_b"])
+            x2 = x.reshape(B * L, d)
+            ffn = _gelu_inplace_tmp(x2 @ lay["w1"] + lay["b1"]) @ lay["w2"] + lay["b2"]
+            h = h + ffn.reshape(B, L, d)
+        return _layer_norm(h, self.lnf_g, self.lnf_b)
 
     def _rel_attention(
         self, lay: dict, x: np.ndarray, L: int,

@@ -233,22 +233,23 @@ class NeuralTriggerModel(TriggerModel):
     def scan_pages(self, pages: list[tuple]) -> list[PageScan]:
         """Batched scan over ``[(text, tokens, starts, ends), ...]`` —
         the fused-kernel fast path.  Trigger scans run per page
-        (pure python), then hit-pages are GROUPED BY WRAPPED LENGTH and
-        each group takes one stacked ``forward_batch`` pass instead of
-        a per-page forward: the forward is numpy-dispatch-bound, so
-        amortizing its ~70 ops over a length group is the single
-        biggest kernel win (encoder.forward_batch's docstring covers
-        why tiny float differences vs the per-page path cannot change
-        a decoded triple).  Over-length pages (wrapped > max_len) keep
-        the per-page windowed forward."""
-        import numpy as np
+        (pure python), then ALL hit-pages take ragged stacked forwards
+        (``encoder.forward_ragged``: length-sorted chunks, padded +
+        key-masked): the forward is numpy-dispatch-bound, so
+        amortizing its ~70 ops over hundreds of rows per chunk is the
+        single biggest kernel win (exact-length grouping averaged only
+        ~8 rows per stack on real corpora).  Tiny float differences vs
+        the per-page path cannot change a decoded triple — positions
+        come from the scan and every gate lies strictly inside
+        (0.70, 0.95), above all decode thresholds.  Over-length pages
+        (wrapped > max_len) keep the per-page windowed forward."""
 
         scans = [
             super(NeuralTriggerModel, self).scan(text, tokens, starts, ends)
             for text, tokens, starts, ends in pages
         ]
-        by_len: dict[int, list[int]] = {}
         out: list[PageScan] = list(scans)
+        ragged_idx: list[int] = []
         for i, (scan, page) in enumerate(zip(scans, pages)):
             if not scan.hits:
                 continue
@@ -259,17 +260,15 @@ class NeuralTriggerModel(TriggerModel):
                     self.encoder.forward(["[CLS]", *page[1], "[SEP]"]),
                 )
             else:
-                by_len.setdefault(n_wrapped, []).append(i)
-        for idxs in by_len.values():
-            ids_mat = np.stack(
-                [
-                    self.encoder.token_ids(["[CLS]", *pages[i][1], "[SEP]"])
-                    for i in idxs
-                ]
-            )
-            hidden = self.encoder.forward_batch(ids_mat)
-            for j, i in enumerate(idxs):
-                out[i] = PageScan(scans[i].hits, hidden[j])
+                ragged_idx.append(i)
+        if ragged_idx:
+            ids_list = [
+                self.encoder.token_ids(["[CLS]", *pages[i][1], "[SEP]"])
+                for i in ragged_idx
+            ]
+            hiddens = self.encoder.forward_ragged(ids_list)
+            for i, hid in zip(ragged_idx, hiddens):
+                out[i] = PageScan(scans[i].hits, hid)
         return out
 
     def subject_grid(self, page: PageScan, n_wrapped: int) -> np.ndarray:

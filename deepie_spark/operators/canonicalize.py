@@ -49,20 +49,22 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _min_neighbor(directed: DataFrame, n_salts: int = 16) -> DataFrame:
-    """(src, m = min(dst ∪ {src})) with a salted two-phase min: hub
-    nodes (an entity with millions of alias edges) would otherwise
-    funnel into one reducer — the north rule's 'salted
-    entity-similarity graph' requirement applied inside CC."""
-    partial = (
-        directed.withColumn(
-            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
-        )
-        .groupBy("src", "_salt")
+def _min_neighbor(directed: DataFrame) -> DataFrame:
+    """(src, m = min(dst ∪ {src})) as ONE partial-aggregated min.
+
+    Hub safety without salting: ``min`` is algebraic, so Spark's
+    HashAggregate computes per-partition partial minima BEFORE the
+    exchange — a hub node with 10^6 edges ships one partial min per
+    map partition, never its raw edge list, which is exactly what the
+    previous explicit salted two-phase form achieved at the cost of a
+    SECOND shuffle per star operation (2 extra exchanges per CC
+    round).  Explicit salting remains the right tool for non-algebraic
+    aggregations (collect_list and friends); for min it was redundant
+    work."""
+    return (
+        directed.groupBy("src")
         .agg(F.min("dst").alias("_pm"))
-    )
-    return partial.groupBy("src").agg(
-        F.least(F.min("_pm"), F.first("src")).alias("m")
+        .select("src", F.least(F.col("_pm"), F.col("src")).alias("m"))
     )
 
 

@@ -32,7 +32,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from deepie_spark.functions.crf import viterbi_decode
+from deepie_spark.functions.crf import viterbi_decode, viterbi_decode_batch
 from deepie_spark.functions.encoder import RelativeAttentionEncoder
 from deepie_spark.operators.spans import bio_spans_py
 
@@ -103,12 +103,77 @@ class NeuralNerModel:
         document — shared by the Spark kernel and the fixture twin."""
         tokens = [t for t in (text or "").lower().split(" ") if t]
         tags = self.tag_tokens_py(tokens)
+        return self._summarize(tokens, tags)
+
+    @staticmethod
+    def _summarize(tokens: list[str], tags: list[str]) -> tuple[int, str, int]:
         blob = json.dumps(tags, separators=(",", ":")).encode()
         return (
             len(tokens),
             hashlib.md5(blob).hexdigest(),
             len(bio_spans_py(tags)),
         )
+
+    def docs_py(self, texts: list) -> list[tuple[int, str, int]]:
+        """Batched :meth:`doc_py` over a whole Arrow batch: every
+        max_len window of every document rides ONE ragged stacked
+        relative-attention pass (``encoder.forward_ragged``), so the
+        [2L-1, dh] sinusoid table, the signed-distance gather index and
+        the ~60 numpy ops of the forward are amortized across the batch
+        instead of being rebuilt per document (the per-row forward was
+        ~80% of this operator's kernel time).  Viterbi stays per
+        document (10% of the time, and per-doc decode is what the twin
+        runs).  Emitted tags are verified EQUAL to the per-row twin
+        over every deterministic corpus (test + full-sf sweep): the
+        stacked forward's last-ulp float differences sit far below the
+        margins of the Viterbi argmax decisions."""
+        toks_list = [
+            [t for t in (text or "").lower().split(" ") if t] for text in texts
+        ]
+        max_len = self.encoder.max_len
+        win_ids: list[np.ndarray] = []
+        owners: list[int] = []
+        for di, toks in enumerate(toks_list):
+            if not toks:
+                continue
+            ids = self.encoder.token_ids(toks)
+            for lo in range(0, len(ids), max_len):
+                win_ids.append(ids[lo : lo + max_len])
+                owners.append(di)
+        states = self.encoder.forward_ragged(win_ids)
+        hidden_by_doc: dict[int, list[np.ndarray]] = {}
+        for di, h in zip(owners, states):
+            hidden_by_doc.setdefault(di, []).append(h)
+        # emissions per doc (same [L, d] @ [d, K] gemm shape as the
+        # twin — a fused all-docs gemm would round rows differently),
+        # then Viterbi batched over exact-length groups:
+        # viterbi_decode_batch is bit-identical to the per-sequence
+        # decode (same argmax tie rule), and the L x K^2 DP loop was
+        # ~10% of this operator per-row — batched it is one numpy pass
+        # per timestep for the whole group.
+        emis: dict[int, np.ndarray] = {}
+        by_len: dict[int, list[int]] = {}
+        for di, toks in enumerate(toks_list):
+            if not toks:
+                continue
+            parts = hidden_by_doc[di]
+            hidden = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            emis[di] = (hidden @ self.w_emit + self.b_emit).astype(np.float64)
+            by_len.setdefault(len(toks), []).append(di)
+        trans64 = self.transitions.astype(np.float64)
+        start64 = self.start_transitions.astype(np.float64)
+        tags_of: dict[int, list[str]] = {}
+        for dis in by_len.values():
+            paths = viterbi_decode_batch(
+                np.stack([emis[di] for di in dis]),
+                trans64, start_transitions=start64,
+            )
+            for di, path in zip(dis, paths):
+                tags_of[di] = [self.tags[i] for i in path]
+        return [
+            self._summarize(toks, tags_of.get(di, []))
+            for di, toks in enumerate(toks_list)
+        ]
 
 
 def neural_ner_tags(
@@ -121,10 +186,13 @@ def neural_ner_tags(
         m: NeuralNerModel = model_bc.value
         cols = ["doc_id", "n_tokens", "tags_md5", "n_spans"]
         for pdf in it:
-            rows = []
-            for rid, text in zip(pdf[id_col], pdf[text_col]):
-                nt, md, ns = m.doc_py(text)
-                rows.append((rid, nt, md, ns))
+            # batched: all docs' windows share ragged stacked forwards
+            # (docs_py == doc_py per row, full-corpus-verified)
+            res = m.docs_py(list(pdf[text_col]))
+            rows = [
+                (rid, nt, md, ns)
+                for rid, (nt, md, ns) in zip(pdf[id_col], res)
+            ]
             yield pd.DataFrame(rows, columns=cols)
 
     return docs_df.select(id_col, text_col).mapInPandas(kernel, NER_DDL)

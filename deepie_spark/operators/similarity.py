@@ -447,11 +447,27 @@ def pq_encode(
         import pandas as pd
 
         for pdf in it:
-            codes = []
-            for v in pdf[vec_col]:
-                x = np.asarray(v, dtype=np.float64).reshape(m, 1, dsub)
-                d2 = ((x - books) ** 2).sum(axis=2)  # [m, k]
-                codes.append(d2.argmin(axis=1).astype(np.int32).tolist())
+            if len(pdf):
+                # one stacked [B, m, k, dsub] broadcast-distance pass per
+                # Arrow batch instead of a python loop per row (the loop
+                # was O(m*k) numpy dispatches PER VECTOR — interpreter-
+                # bound at scale).  Twin-exact: the subtract/square/
+                # last-axis sum runs the same per-element reduction
+                # order as the per-row form, and argmin keeps the same
+                # lowest-index tie rule, so codes are bit-identical to
+                # the python twin regardless of batch shape.
+                X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                codes = []
+                # 128-row slices: the [B, m, k, dsub] temp stays ~1 MB
+                # (cache-resident — swept 64..2048, 128 fastest; one
+                # full-batch pass streams 16 MB temps through memory
+                # and loses the win)
+                for lo in range(0, len(X), 128):
+                    S = X[lo : lo + 128]
+                    d2 = ((S.reshape(len(S), m, 1, dsub) - books) ** 2).sum(axis=3)
+                    codes.extend(d2.argmin(axis=2).astype(np.int32))
+            else:
+                codes = []
             out = {id_col: pdf[id_col], "codes": codes}
             for c in keep_cols:
                 out[c] = pdf[c]
@@ -485,10 +501,15 @@ def pq_adc_topk(
 
         rows_m = np.arange(m)
         for pdf in it:
-            dists = [
-                float(lut[rows_m, np.asarray(c, dtype=np.int64)].sum())
-                for c in pdf["codes"]
-            ]
+            if len(pdf):
+                # stacked [B, m] LUT gather + per-row sum (was a python
+                # comprehension dispatching numpy per row).  Twin-exact:
+                # each row sums its own m contiguous lookups in the
+                # same order as the per-row form.
+                C = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+                dists = lut[rows_m, C].sum(axis=1)
+            else:
+                dists = []
             yield pd.DataFrame({id_col: pdf[id_col], "dist2": dists})
 
     scored = codes_df.mapInPandas(kernel, f"{id_col} bigint, dist2 double")

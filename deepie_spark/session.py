@@ -64,15 +64,30 @@ def build_pyfiles_zip(out_path: str | None = None) -> str:
     Python workers are separate processes: the driver's sys.path does
     NOT propagate, so the package must be shipped explicitly (this is
     the north rule's ``spark-submit --py-files`` deployment story).
+
+    The default path is CONTENT-HASHED and written via an atomic
+    rename: a fixed shared name races when two applications on one
+    host ship different package versions (executors hard-fail with
+    "exists and does not match contents"), and a reader could fetch a
+    half-written zip.  Same content -> same path (reused); changed
+    content -> a new path that cannot collide.
     """
-    out_path = out_path or os.path.join(
-        tempfile.gettempdir(), "deepie_spark_pyfiles.zip"
-    )
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+    import hashlib
+
+    tmp_fd, tmp_path = tempfile.mkstemp(suffix=".zip")
+    os.close(tmp_fd)
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for f in sorted(_PKG_DIR.rglob("*")):
             if "__pycache__" in f.parts or not f.is_file():
                 continue
             zf.write(f, Path("deepie_spark") / f.relative_to(_PKG_DIR))
+    if out_path is None:
+        with open(tmp_path, "rb") as fh:
+            digest = hashlib.md5(fh.read()).hexdigest()[:12]
+        out_path = os.path.join(
+            tempfile.gettempdir(), f"deepie_spark_pyfiles_{digest}.zip"
+        )
+    os.replace(tmp_path, out_path)
     return out_path
 
 
@@ -114,6 +129,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("DEEPIE_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # floor on SCAN parallelism, derived from the session's core
+        # count (scale-adaptive, not a local[32] constant): without it
+        # a compact parquet input packs into ~1 task per core — a
+        # single wave, so the job's wall time is its slowest task and
+        # every early-finishing core idles (measured occupancy 0.78 on
+        # the replicated-corpus extraction).  3 waves keeps stragglers
+        # amortized; maxPartitionBytes still caps split size for big
+        # inputs, so this only bites when the scan would otherwise
+        # under-parallelize.
+        .config(
+            "spark.sql.files.minPartitionNum", str(6 * int(shuffle_partitions))
+        )
     )
     # ship the same pinning into executor-spawned python workers (on a
     # real cluster the driver env doesn't reach executors; in local

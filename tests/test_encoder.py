@@ -240,8 +240,8 @@ def test_forward_batch_matches_per_page_forward(ex):
 def test_forward_batch_overlength_fallback_and_relative_encoder(ex):
     """Pages longer than max_len route through the per-page windowed
     forward inside scan_pages (never a >max_len stacked pass), and the
-    relative-attention encoder's forward_batch falls back to its own
-    per-row forward (not the base class's absolute-position math)."""
+    relative-attention encoder's stacked forward runs ITS relative-
+    position math (not the base class's absolute-position kernel)."""
     from deepie_spark.functions.encoder import RelativeAttentionEncoder
 
     long_ids = np.arange(ex.encoder.max_len + 10) % 100
@@ -258,4 +258,42 @@ def test_forward_batch_overlength_fallback_and_relative_encoder(ex):
     ids = np.stack([np.arange(12), np.arange(12) + 3])
     hb = rel.forward_batch(ids)
     for j in range(2):
-        np.testing.assert_array_equal(hb[j], rel._forward_window(ids[j]))
+        np.testing.assert_allclose(
+            hb[j], rel._forward_window(ids[j]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_forward_ragged_matches_per_page(ex):
+    """Mixed-length padded+masked chunked forward == per-page forward
+    to float tolerance, for both encoder types, independent of chunk
+    packing (exercised by a tiny budget forcing multiple chunks)."""
+    from deepie_spark.functions.encoder import RelativeAttentionEncoder
+
+    rng = np.random.default_rng(7)
+    ids_list = [
+        rng.integers(0, 2000, size=rng.integers(3, 90)).astype(np.int64)
+        for _ in range(40)
+    ]
+    for enc in (
+        ex.encoder,
+        RelativeAttentionEncoder(
+            dict(list(ex.tokenizer.vocab.items())[:50]), num_labels=4
+        ),
+    ):
+        outs = enc.forward_ragged(ids_list)
+        for ids, h in zip(ids_list, outs):
+            assert h.shape == (len(ids), enc.d_model)
+            np.testing.assert_allclose(
+                h, enc._forward_window(ids), rtol=1e-4, atol=1e-5
+            )
+    # chunk-packing independence: force many tiny chunks
+    small_budget = ex.encoder.__class__._RAGGED_BUDGET
+    try:
+        ex.encoder.__class__._RAGGED_BUDGET = 5000
+        outs2 = ex.encoder.forward_ragged(ids_list)
+    finally:
+        ex.encoder.__class__._RAGGED_BUDGET = small_budget
+    for ids, h in zip(ids_list, outs2):
+        np.testing.assert_allclose(
+            h, ex.encoder._forward_window(ids), rtol=1e-4, atol=1e-5
+        )

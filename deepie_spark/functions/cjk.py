@@ -60,3 +60,18 @@ _CJK_OR_PUNCT: frozenset[int] = _build_set()
 def is_cjk_or_punct(ch: str) -> bool:
     """True iff ``ch`` is a Han char or CN/EN punctuation (incl. space)."""
     return ord(ch) in _CJK_OR_PUNCT
+
+
+def cjk_or_punct_class() -> str:
+    """Regex character-class body matching EXACTLY the
+    ``_CJK_OR_PUNCT`` set — lets hot per-char loops over the classifier
+    (the sub-text splitter) run as one compiled C-level regex instead
+    of a python for-loop, with identical membership semantics."""
+    import re
+
+    parts = []
+    for lo, hi in _HAN_RANGES + _EN_PUNCT_RANGES:
+        parts.append(f"{re.escape(chr(lo))}-{re.escape(chr(hi))}")
+    for cp in _CN_PUNCTS:
+        parts.append(re.escape(chr(cp)))
+    return "".join(parts)

@@ -499,6 +499,9 @@ class TinyTransformerEncoder:
         gate of one subject (the cascade's stage-2 conditioning,
         multi_pointer_net.py:96-123)."""
         s1, s2 = subject
+        # .mean kept as-is ON PURPOSE: this value feeds the
+        # encoder_grids bit-pinned oracle, and any re-associated
+        # mean (sum * 1/n) rounds differently in the last ulp
         return float(np.float32(hidden[s1 : s2 + 1].mean(axis=0) @ self.w_cond))
 
     def object_gate_at(

@@ -25,12 +25,18 @@ import re
 import unicodedata
 from pathlib import Path
 
-from deepie_spark.functions.cjk import is_cjk_or_punct
+from deepie_spark.functions.cjk import cjk_or_punct_class, is_cjk_or_punct
 
 PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
 SPECIALS = [PAD, UNK, CLS, SEP, MASK]
 
 _DIGIT_RE = re.compile(r"\d")
+# the sub-text state machine as one regex: a CJK/punct singleton, else
+# a maximal digit run, else a maximal other-char run (alternation order
+# mirrors the machine's branch order; classes are exactly the
+# classifier's codepoint set)
+_CJK_CLASS = cjk_or_punct_class()
+_SUB_TEXT_RE = re.compile(f"[{_CJK_CLASS}]|\\d+|[^{_CJK_CLASS}\\d]+")
 _DEFAULT_VOCAB = Path(__file__).resolve().parent.parent / "resources" / "vocab.txt"
 
 
@@ -214,7 +220,20 @@ def split_sub_text(text: str) -> list[str]:
     behavior lives in :func:`basic_tokenize` above.  The two reference
     paths genuinely disagree on control characters; we port each one
     faithfully rather than inventing a merged behavior.
+
+    Implementation: one compiled-regex ``findall`` — CJK/punct chars
+    as singletons, then maximal digit runs, then maximal other runs —
+    which is exactly the flush behavior of the original per-char state
+    machine (equality fuzz-tested against the python form in
+    test_tokenizer), at C speed instead of a python char loop that was
+    ~10% of the whole extraction kernel.
     """
+    return _SUB_TEXT_RE.findall(text)
+
+
+def _split_sub_text_state_machine(text: str) -> list[str]:
+    """The original per-char state machine — kept as the oracle the
+    regex form is fuzz-tested against."""
     sub_text: list[str] = []
     buff = ""
     flag_en = False

@@ -285,10 +285,17 @@ def stage_subjects(tokens_df, extractor_bc):
         cols = ["url", "lang", "context", "tokens", "tok_start", "tok_end", "s1", "s2"]
         for pdf in it:
             rows = []
-            for r in pdf.itertuples(index=False):
-                tokens = list(r.tokens)
+            # batch the page scans (ragged stacked forwards) exactly
+            # like the fused kernel; decode per page is unchanged
+            prepared = [
+                (r.context, list(r.tokens), list(r.tok_start), list(r.tok_end))
+                for r in pdf.itertuples(index=False)
+            ]
+            scans = ex.model.scan_pages(prepared)
+            for r, (_, tokens, _, _), scan in zip(
+                pdf.itertuples(index=False), prepared, scans
+            ):
                 n = len(tokens) + 2
-                scan = ex.model.scan(r.context, tokens, list(r.tok_start), list(r.tok_end))
                 grid = ex.model.subject_grid(scan, n)
                 for s1, s2 in decode_subjects(grid, n):
                     rows.append(
@@ -328,21 +335,35 @@ def stage_po(subjects_df, extractor_bc, scan_counter=None, presort: bool = True)
         last_url, last_scan = None, None
         for pdf in it:
             rows = []
-            for r in pdf.itertuples(index=False):
+            rows_in = list(pdf.itertuples(index=False))
+            # one scan per DISTINCT url in the batch (was: one per
+            # adjacent url run), and all of the batch's scans share
+            # ragged stacked forwards like the fused kernel.  The
+            # carry across Arrow batches keeps the old guarantee that
+            # a page spanning a batch boundary is not re-scanned.
+            need: dict[str, int] = {}
+            for idx, r in enumerate(rows_in):
+                if r.url != last_url and r.url not in need:
+                    need[r.url] = idx
+            scans_by_url: dict[str, object] = {}
+            if need:
+                prepared = [
+                    (
+                        rows_in[i].context, list(rows_in[i].tokens),
+                        list(rows_in[i].tok_start), list(rows_in[i].tok_end),
+                    )
+                    for i in need.values()
+                ]
+                batch_scans = ex.model.scan_pages(prepared)
+                scans_by_url = dict(zip(need.keys(), batch_scans))
+                if scan_counter is not None:
+                    scan_counter.add(len(need))
+            for r in rows_in:
                 tokens = list(r.tokens)
                 n = len(tokens) + 2
-                # subjects of one page arrive adjacent (fan-out order,
-                # re-established per partition by the local sort):
-                # memoize the page-level scan across them
-                if r.url == last_url:
-                    scan = last_scan
-                else:
-                    scan = ex.model.scan(
-                        r.context, tokens, list(r.tok_start), list(r.tok_end)
-                    )
-                    last_url, last_scan = r.url, scan
-                    if scan_counter is not None:
-                        scan_counter.add(1)
+                scan = (
+                    last_scan if r.url == last_url else scans_by_url[r.url]
+                )
                 po_grid = ex.model.po_grid(scan, (r.s1, r.s2), n)
                 po = decode_po(po_grid, n)
                 if not po:
@@ -353,6 +374,11 @@ def stage_po(subjects_df, extractor_bc, scan_counter=None, presort: bool = True)
                 for o1, o2, p in po:
                     rows.append((r.url, r.context, list(r.tok_start),
                                  list(r.tok_end), r.s1, r.s2, o1, o2, p))
+            if rows_in:
+                tail = rows_in[-1].url
+                if tail in scans_by_url:
+                    last_scan = scans_by_url[tail]
+                last_url = tail  # else: tail was the carried page
             yield pd.DataFrame(rows, columns=cols)
 
     return subjects_df.mapInPandas(kernel, PO_DDL)

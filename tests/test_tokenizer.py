@@ -111,3 +111,26 @@ def test_property_offsets_within_text(s):
     assert len(tokens) == len(starts) == len(ends)
     for st_, en in zip(starts, ends):
         assert 0 <= st_ <= en < max(len(s), 1)
+
+
+def test_split_sub_text_regex_equals_state_machine():
+    """The compiled-regex splitter must reproduce the per-char state
+    machine exactly, over adversarial unicode mixes (CJK, CN/EN punct,
+    unicode digits, controls, plane-2 Han, space)."""
+    import random
+
+    from deepie_spark.functions.tokenizer import (
+        _split_sub_text_state_machine,
+        split_sub_text,
+    )
+
+    rng = random.Random(20260822)
+    alphabet = (
+        "abcXYZ \u00e9\u00df09\uff10\u0660"
+        "\u4e00\u9fc3\u3400\u2e80\U00020000\U0002f800"
+        "\u3002\uff1f\u2018\u201d\u2460"
+        "!/:@[`{~\n\t\ufffd\u200b\u0301"
+    )
+    for _ in range(400):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        assert split_sub_text(s) == _split_sub_text_state_machine(s), repr(s)

@@ -43,6 +43,9 @@ from deepie_spark.functions.tokenizer import (
 from deepie_spark.functions.trie import AliasTrie
 
 PROB = 0.95
+# PROB as the float32 dense grid stores it (threshold comparisons on the
+# sparse decode path must see the identical number)
+PROB32 = float(np.float32(PROB))
 SENTENCE_ENDS = {".", "。", "!", "！", "?", "？"}
 
 
@@ -83,6 +86,13 @@ class TriggerModel:
             ]
             for p in schema.predicates
         }
+        # first tokens of every trigger phrase: lets the per-page scan
+        # index only positions that can possibly start a trigger
+        # (one set-membership test per token) instead of building a
+        # full token -> positions map per page
+        self._trigger_first = frozenset(
+            seq[0] for seqs in self.triggers.values() for seq in seqs
+        )
 
     # -- span proposal --------------------------------------------------
 
@@ -115,11 +125,17 @@ class TriggerModel:
 
         One pass builds a first-token -> positions index; each trigger
         then probes only its candidate positions (O(n + hits) instead of
-        O(n x triggers))."""
+        O(n x triggers)).  The index only records tokens that START some
+        trigger phrase (``_trigger_first``) — every other token could
+        never be probed, so indexing it was pure per-page overhead; the
+        probe results (and therefore the output, order included) are
+        identical."""
         n = len(tokens)
+        first = self._trigger_first
         index: dict[str, list[int]] = {}
         for i, t in enumerate(tokens):
-            index.setdefault(t, []).append(i)
+            if t in first:
+                index.setdefault(t, []).append(i)
         occ = []
         for pid, seqs in self.triggers.items():
             for seq in seqs:
@@ -202,6 +218,40 @@ class TriggerModel:
                 g[o1 + 1, p, 0] = PROB
                 g[o2 + 1, p, 1] = PROB
         return g
+
+    # -- sparse grid support (the hot decode path) -----------------------
+    #
+    # The grids above are almost-all-zero; the decode twins in
+    # operators/decode.py consume their support directly.  Values go
+    # through float32 (``float(np.float32(x))``) because that is
+    # exactly what storing into the float32 dense grid does — the
+    # threshold comparisons see bit-identical numbers on both paths.
+
+    def subject_support(
+        self, page: PageScan
+    ) -> tuple[list[tuple[int, float]], list[tuple[int, float]]]:
+        """The nonzero support of :meth:`subject_grid`'s two columns as
+        position-ascending (pos, value) lists."""
+        starts = sorted({h[0] + 1 for h in page.hits})
+        ends = sorted({h[1] + 1 for h in page.hits})
+        return [(i, PROB32) for i in starts], [(i, PROB32) for i in ends]
+
+    def po_support(
+        self, page: PageScan, subject: tuple[int, int]
+    ) -> tuple[list[tuple[int, int, float]], list[tuple[int, int, float]]]:
+        """The nonzero support of :meth:`po_grid` as (pos, pid, value)
+        lists sorted by (pos, pid) — np.where's row-major order."""
+        s1, s2 = subject[0] - 1, subject[1] - 1  # unwrap
+        skeys: set[tuple[int, int]] = set()
+        ekeys: set[tuple[int, int]] = set()
+        for t1, t2, o1, o2, p in page.hits:
+            if (t1, t2) == (s1, s2):
+                skeys.add((o1 + 1, p))
+                ekeys.add((o2 + 1, p))
+        return (
+            [(pos, pid, PROB32) for pos, pid in sorted(skeys)],
+            [(pos, pid, PROB32) for pos, pid in sorted(ekeys)],
+        )
 
 
 class NeuralTriggerModel(TriggerModel):
@@ -298,3 +348,39 @@ class NeuralTriggerModel(TriggerModel):
                 g[o1 + 1, p, 0] = enc.object_gate_at(page.hidden, cond, o1 + 1, p, 0)
                 g[o2 + 1, p, 1] = enc.object_gate_at(page.hidden, cond, o2 + 1, p, 1)
         return g
+
+    def subject_support(self, page: PageScan):
+        if not page.hits:
+            return [], []
+        enc = self.encoder
+        f32 = np.float32
+        starts = sorted({h[0] + 1 for h in page.hits})
+        ends = sorted({h[1] + 1 for h in page.hits})
+        return (
+            [(i, float(f32(enc.subject_gate_at(page.hidden, i, 0)))) for i in starts],
+            [(i, float(f32(enc.subject_gate_at(page.hidden, i, 1)))) for i in ends],
+        )
+
+    def po_support(self, page: PageScan, subject: tuple[int, int]):
+        s1, s2 = subject[0] - 1, subject[1] - 1  # unwrap
+        skeys: set[tuple[int, int]] = set()
+        ekeys: set[tuple[int, int]] = set()
+        for t1, t2, o1, o2, p in page.hits:
+            if (t1, t2) == (s1, s2):
+                skeys.add((o1 + 1, p))
+                ekeys.add((o2 + 1, p))
+        if not skeys:
+            return [], []
+        enc = self.encoder
+        f32 = np.float32
+        cond = enc.object_condition(page.hidden, subject)
+        return (
+            [
+                (pos, pid, float(f32(enc.object_gate_at(page.hidden, cond, pos, pid, 0))))
+                for pos, pid in sorted(skeys)
+            ],
+            [
+                (pos, pid, float(f32(enc.object_gate_at(page.hidden, cond, pos, pid, 1))))
+                for pos, pid in sorted(ekeys)
+            ],
+        )

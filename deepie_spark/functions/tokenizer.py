@@ -282,16 +282,22 @@ def tokenize_with_offsets(
     limit = max_seq_length - 2
     for element in split_sub_text(text):
         pieces = tokenizer.tokenize(element) if element != " " else []
+        el_start = pos
         pos += len(element)
-        done = False
-        for piece in pieces:
-            starts.append(pos - len(element))
-            ends.append(pos - 1)
-            tokens.append(piece)
-            if len(tokens) >= limit:
-                done = True
-                break
-        if done:
+        if not pieces:
+            continue
+        # every wordpiece of an element shares the element's char span,
+        # so the common (non-truncating) case extends in bulk; the
+        # truncating tail keeps the reference's exact stop-mid-element
+        k = len(pieces)
+        room = limit - len(tokens)
+        if k >= room:  # this element reaches the limit: emit `room`
+            pieces = pieces[:room]
+            k = room
+        tokens.extend(pieces)
+        starts.extend([el_start] * k)
+        ends.extend([pos - 1] * k)
+        if len(tokens) >= limit:
             break
     return tokens, starts, ends
 

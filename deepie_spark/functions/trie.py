@@ -75,12 +75,38 @@ class AliasTrie:
     def match_all(
         self, tokens: list[str]
     ) -> list[tuple[int, int, AliasEntry]]:
-        """Every (start, end_exclusive, entry) match in the token stream."""
+        """Every (start, end_exclusive, entry) match in the token stream.
+
+        Inlined trie walk: identical output (order included) to calling
+        :meth:`enumerate_matches` at every position, without paying a
+        python call + list allocation per position — the walk runs once
+        per page position in the extraction kernel's hot loop, and most
+        positions miss the root immediately."""
         out = []
-        for i in range(len(tokens)):
-            for end, entries in self.enumerate_matches(tokens, i):
-                for e in entries:
-                    out.append((i, end, e))
+        root = self.root
+        n = len(tokens)
+        append = out.append
+        for i in range(n):
+            node = root.get(tokens[i])
+            if node is None:
+                continue
+            j = i
+            hits = None
+            while node is not None:
+                j += 1
+                entries = node.get(_LEAF)
+                if entries is not None:
+                    if hits is None:
+                        hits = [(j, entries)]
+                    else:
+                        hits.append((j, entries))
+                if j >= n:
+                    break
+                node = node.get(tokens[j])
+            if hits is not None:
+                for end, entries in reversed(hits):
+                    for e in entries:
+                        append((i, end, e))
         return out
 
     def match_longest_nonoverlap(

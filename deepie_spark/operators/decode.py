@@ -68,3 +68,74 @@ def decode_po(
                 out.append((int(_start), int(_end), int(predicate1)))
                 break
     return out
+
+
+# ---- sparse decode twins ----------------------------------------------------
+#
+# The scorer's grids are almost-all-zero: values exist only at
+# scan-believed positions.  Materializing a dense [L,2] / [L,P,2] zeros
+# array per subject and re-discovering its support with np.where was
+# ~20% of the extraction kernel.  These twins consume the support
+# directly — SAME values, SAME threshold comparisons, SAME candidate
+# order (np.where over [L,2]/[L,P,2] enumerates row-major, i.e.
+# ascending position / ascending (position, predicate) — exactly the
+# sorted order of the support lists) — so they are output-identical to
+# the dense forms for ANY values, not just the gate-margin ones
+# (fuzz-tested against the dense forms in test_decode_sparse).
+
+
+def decode_subjects_sparse(
+    start_cands: list[tuple[int, float]],
+    end_cands: list[tuple[int, float]],
+    n_wrapped: int,
+    start_t: float = SUBJ_START_T,
+    end_t: float = SUBJ_END_T,
+) -> list[tuple[int, int]]:
+    """``start_cands``/``end_cands``: the grid columns' support as
+    position-ascending (pos, value) lists.  Output == decode_subjects
+    over the dense [L,2] grid with those values.
+
+    The thresholds round through float32 first: comparing a float32
+    grid against a python-float threshold demotes the SCALAR to float32
+    under numpy's value-based promotion, so the dense comparison is
+    ``float32(v) > float32(t)`` — the sparse twin must be too (caught
+    by the fuzz test at v == float32(0.6))."""
+    start_t = float(np.float32(start_t))
+    end_t = float(np.float32(end_t))
+    end_pos = [p for p, v in end_cands if v > end_t]
+    subjects: list[tuple[int, int]] = []
+    for i, v in start_cands:
+        if v <= start_t or i == 0 or i > n_wrapped - 2:
+            continue
+        for j in end_pos:  # first end >= start (list is ascending)
+            if j >= i:
+                if j <= n_wrapped - 2:
+                    subjects.append((i, j))
+                break
+    return subjects
+
+
+def decode_po_sparse(
+    start_cands: list[tuple[int, int, float]],
+    end_cands: list[tuple[int, int, float]],
+    n_wrapped: int,
+    start_t: float = PO_START_T,
+    end_t: float = PO_END_T,
+) -> list[tuple[int, int, int]]:
+    """``start_cands``/``end_cands``: the [L,P,2] grid's support as
+    (pos, predicate_id, value) lists sorted by (pos, predicate_id) —
+    np.where's row-major order.  Output == decode_po over the dense
+    grid with those values (thresholds float32-rounded like the dense
+    comparison — see decode_subjects_sparse)."""
+    start_t = float(np.float32(start_t))
+    end_t = float(np.float32(end_t))
+    ends = [(p, pid) for p, pid, v in end_cands if v > end_t]
+    out: list[tuple[int, int, int]] = []
+    for pos, pid, v in start_cands:
+        if v <= start_t or pos > n_wrapped - 2 or pos == 0:
+            continue
+        for epos, epid in ends:
+            if pos <= epos <= n_wrapped - 2 and pid == epid:
+                out.append((pos, epos, pid))
+                break
+    return out

@@ -36,7 +36,11 @@ from deepie_spark.functions.tokenizer import (
 )
 from deepie_spark.functions.trie import build_alias_trie
 from deepie_spark.operators.assemble import assemble_triples
-from deepie_spark.operators.decode import decode_po, decode_subjects
+from deepie_spark.operators.decode import (
+    decode_po_sparse,
+    decode_subjects,
+    decode_subjects_sparse,
+)
 
 TRIPLES_DDL = (
     "url string, subject string, subject_type string, predicate string, "
@@ -126,11 +130,18 @@ class PageExtractor:
         return self._decode_scan(context, starts, ends, scan, n)
 
     def _decode_scan(self, context, starts, ends, scan, n) -> list[dict]:
-        sub_grid = self.model.subject_grid(scan, n)
+        # sparse decode: same gate values (float32-cast exactly as the
+        # dense grid stores them), same threshold comparisons, same
+        # candidate order as decode over the dense grids — the dense
+        # [L,2]/[L,P,2] zeros + np.where round-trip was ~20% of the
+        # kernel (equality fuzz + corpus sweep in test_decode_sparse)
+        s_start, s_end = self.model.subject_support(scan)
         spoes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
-        for subject in decode_subjects(sub_grid, n):
-            po_grid = self.model.po_grid(scan, subject, n)
-            spoes.setdefault(subject, []).extend(decode_po(po_grid, n))
+        for subject in decode_subjects_sparse(s_start, s_end, n):
+            o_start, o_end = self.model.po_support(scan, subject)
+            spoes.setdefault(subject, []).extend(
+                decode_po_sparse(o_start, o_end, n)
+            )
         return assemble_triples(context, starts, ends, spoes, self.schema)
 
     def extract_pages_py(self, texts: list) -> list[list[dict]]:
@@ -296,8 +307,8 @@ def stage_subjects(tokens_df, extractor_bc):
                 pdf.itertuples(index=False), prepared, scans
             ):
                 n = len(tokens) + 2
-                grid = ex.model.subject_grid(scan, n)
-                for s1, s2 in decode_subjects(grid, n):
+                s_start, s_end = ex.model.subject_support(scan)
+                for s1, s2 in decode_subjects_sparse(s_start, s_end, n):
                     rows.append(
                         (r.url, r.lang, r.context, tokens,
                          list(r.tok_start), list(r.tok_end), s1, s2)
@@ -364,8 +375,8 @@ def stage_po(subjects_df, extractor_bc, scan_counter=None, presort: bool = True)
                 scan = (
                     last_scan if r.url == last_url else scans_by_url[r.url]
                 )
-                po_grid = ex.model.po_grid(scan, (r.s1, r.s2), n)
-                po = decode_po(po_grid, n)
+                o_start, o_end = ex.model.po_support(scan, (r.s1, r.s2))
+                po = decode_po_sparse(o_start, o_end, n)
                 if not po:
                     # subjects with no object still participate in
                     # regrouping (empty spoes entry), keep a marker row

@@ -211,10 +211,11 @@ class TinyTransformerEncoder:
 
     def load_state_dict(self, sd: dict[str, np.ndarray]) -> None:
         """Swap in a foreign tensor set — the operation a TRAINED
-        checkpoint performs against this encoder.  Strict by design:
-        every expected name must be present with the exact shape and a
-        float32 value (missing/extra/misshapen tensors raise instead of
-        silently extracting with half-swapped weights)."""
+        checkpoint performs against this encoder.  Strict on NAMES and
+        SHAPES: missing/extra/misshapen tensors raise instead of
+        silently extracting with half-swapped weights.  Values are cast
+        to float32 (a float64 or integer checkpoint loads with the
+        usual precision-narrowing, as torch-style loaders do)."""
         own = self.state_dict()
         missing = sorted(set(own) - set(sd))
         extra = sorted(set(sd) - set(own))

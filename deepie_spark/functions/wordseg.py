@@ -145,19 +145,24 @@ def prepare_freq(freq: dict[str, int]) -> tuple[set[str], float]:
 
 # identity-keyed memo (freq dicts are broadcast values: few, long-lived,
 # never mutated).  Entries hold a strong ref to the keyed dict so a
-# recycled id() can never alias a different object.
-_PREPARED_CACHE: dict[int, tuple[dict[str, int], set[str], float]] = {}
+# recycled id() can never alias a different object.  A len() signature
+# additionally invalidates on the common in-place mutation (jieba's
+# add_word pattern inserts new entries); re-weighting an EXISTING word
+# in place is NOT detected — treat the freq dict as immutable after
+# first use, or rebuild it (a full-content signature would cost O(dict)
+# per call, exactly what this cache exists to avoid).
+_PREPARED_CACHE: dict[int, tuple[dict[str, int], int, set[str], float]] = {}
 _PREPARED_CACHE_MAX = 8
 
 
 def _prepared_for(freq: dict[str, int]) -> tuple[set[str], float]:
     hit = _PREPARED_CACHE.get(id(freq))
-    if hit is not None and hit[0] is freq:
-        return hit[1], hit[2]
+    if hit is not None and hit[0] is freq and hit[1] == len(freq):
+        return hit[2], hit[3]
     prefixes, logtotal = prepare_freq(freq)
     if len(_PREPARED_CACHE) >= _PREPARED_CACHE_MAX:
         _PREPARED_CACHE.clear()
-    _PREPARED_CACHE[id(freq)] = (freq, prefixes, logtotal)
+    _PREPARED_CACHE[id(freq)] = (freq, len(freq), prefixes, logtotal)
     return prefixes, logtotal
 
 
@@ -174,7 +179,13 @@ def mp_segment(
     jieba project, reimplemented.  With jieba's own dict.txt
     frequencies the output matches real jieba token-for-token on
     dictionary text (the skip-gated parity test runs it when jieba is
-    installed).  Concatenation-preserving for every input."""
+    installed).  Concatenation-preserving for every input.
+
+    ``freq`` is treated as immutable once used: the derived prefix
+    set/log-total are memoized (see ``_PREPARED_CACHE``).  Adding words
+    in place is detected via a len() signature; re-weighting an
+    existing entry in place is not — pass a fresh dict (or explicit
+    ``prepared``) after such a mutation."""
     if not text:
         return []
     if prepared is not None:

@@ -251,7 +251,23 @@ def lsh_candidate_pairs(
     ONLY agreeing band was capped are missed.  Mitigations when recall
     matters: raise ``max_bucket``, use more rows per band, or route
     oversized buckets through ``exact_dedup`` on the full text.  AQE
-    skew-join covers moderate skew below the cap."""
+    skew-join covers moderate skew below the cap.
+
+    The bands table is persisted before fanning out: it feeds the
+    bucket-size aggregation, the cap join, and BOTH sides of the
+    self-join, and exchange reuse only covered one of the duplicated
+    subtrees (measured with a row-count accumulator: every doc's text
+    was minhashed 3x per query).  Bands rows are a tiny fixed-width
+    projection (id, band_id, hash) while the upstream signature kernel
+    re-reads and re-hashes the full text, so caching the small thing
+    to skip recomputing the big thing is exactly the guide's
+    "lightweight proxy" rule; MEMORY_AND_DISK so an out-of-memory
+    corpus spills instead of evicting back to recompute.  The blocks
+    are released by Spark's ContextCleaner when the result DataFrame
+    is dropped."""
+    from pyspark import StorageLevel
+
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         sizes = bands.groupBy("band_id", "band_hash").agg(
             F.count(F.lit(1)).alias("_bucket_n")

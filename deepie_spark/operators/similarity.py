@@ -213,7 +213,18 @@ def lsh_ann_pairs_fast(
 ) -> DataFrame:
     """Fast-path near-dup pairs: same capped bucket self-join shape as
     ``lsh_ann_pairs``, but pair scoring runs as one vectorized numpy
-    pass instead of a per-pair interpreted cosine expression."""
+    pass instead of a per-pair interpreted cosine expression.
+
+    ``buckets`` is persisted before fanning out (size agg + cap join +
+    both self-join sides): exchange reuse does not cover all the
+    duplicated subtrees, so without it the upstream bucket-assignment
+    kernel re-reads and re-projects every embedding up to 3x per query
+    (measured on the MinHash twin of this shape with a row-count
+    accumulator).  Same rows either way; released by the
+    ContextCleaner when the result is dropped."""
+    from pyspark import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         sizes = buckets.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("_bucket_n")
